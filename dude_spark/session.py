@@ -1,0 +1,72 @@
+"""SparkSession factory with the engine's required configuration."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dude_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a session.
+
+    - ``mapKeyDedupPolicy=LAST_WIN`` pins the reference's later-wins map-merge
+      semantics in the flatten aggregation (``dude/base.py:610-622``, FIXME
+      at ``:617`` — duplicate keys resolved by update order).
+    - Arrow enabled end-to-end: every Python crossing is a batched pandas UDF.
+    - UTC session TZ for DuckDB-oracle comparability.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = cpus if cpus != "*" else os.cpu_count() or 8
+        shuffle_partitions = int(n)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship dude_spark to executor Python workers (≙ spark-submit
+    --py-files): UDF closures are cloudpickled *by reference* to the module,
+    so workers must be able to import it regardless of their cwd."""
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "dude_spark_pyfiles.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(zip_path + ".tmp", zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # already added in this context
+        pass
