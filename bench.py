@@ -1,0 +1,198 @@
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline suite at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` mode (sandbox proxy for the north_rule's N→4N-executor
+criterion, see BASELINE.md): re-runs the crawl job in two subprocesses at
+local[8] and local[32] on the same input and writes throughput + efficiency
+to BENCH/BASELINE.md.
+
+The headline metric is the crawl: URLs fetched+extracted/sec over the
+synthetic Common-Crawl-style corpus (pages = projection of documents.parquet,
+replicated ×REPLICATE for bench scale; robots + politeness + dedupe on).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "4"))
+
+BENCH_QUERIES = [
+    "extract_flat",
+    "link_graph",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "token_count",
+    "quality_score",
+    "sessionize",
+]
+
+
+def replicated_pages(spark, sf_dir: str, factor: int):
+    """Scale the corpus ×factor: doc_id' = doc_id + r*N keeps the layout's
+    closed forms (same 20 hosts, deeper trees)."""
+    from pyspark.sql import functions as F
+
+    from dude_spark.corpus import pages_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    if factor > 1:
+        reps = spark.range(factor).select(F.col("id").alias("rep"))
+        docs = docs.crossJoin(reps).withColumn(
+            "doc_id", F.col("doc_id") + F.col("rep") * n
+        ).drop("rep")
+    tmp = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"bench_docs_{os.path.basename(sf_dir)}_{factor}.parquet"
+    )
+    if not os.path.exists(tmp):
+        docs.write.mode("overwrite").parquet(tmp)
+    # reuse pages_df by pointing it at the replicated documents dir
+    bdir = os.path.dirname(tmp)
+    link = os.path.join(bdir, f"bench_corpus_{os.path.basename(sf_dir)}_{factor}")
+    os.makedirs(link, exist_ok=True)
+    dst = os.path.join(link, "documents.parquet")
+    if not os.path.exists(dst):
+        os.symlink(tmp, dst)
+    from dude_spark.corpus import pages_df as _pages
+
+    return _pages(spark, link)
+
+
+def run_crawl_bench(spark, sf_dir: str, replicate: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from dude_spark.api import Scraper
+    from dude_spark.corpus import robots_df, seeds
+    from dude_spark.crawl import CrawlConfig, CrawlJob
+
+    app = Scraper()
+
+    @app.group(css=".custom-group")
+    @app.select(css=".title")
+    def title(element):
+        return {"title": element.text_content()}
+
+    @app.select(css="a.url", group_css=".custom-group")
+    def item_href(element):
+        return {"item_href": element.get("href")}
+
+    pages = replicated_pages(spark, sf_dir, replicate).select("url", "html")
+    pages = pages.repartition(int(CPUS) if CPUS != "*" else 32).cache()
+    n_pages = pages.count()
+
+    t0 = time.time()
+    job = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(follow_urls=True, max_rounds=64, round_seconds=3600),
+    )
+    res = job.run(seeds())
+    n_fetched = sum(m.fetched for m in res.metrics)
+    n_rows = res.results.count()
+    wall = time.time() - t0
+    return {
+        "seconds": round(wall, 3),
+        "pages": n_pages,
+        "urls_fetched": n_fetched,
+        "result_rows": n_rows,
+        "rounds": len(res.metrics),
+        "urls_per_sec": round(n_fetched / wall, 2),
+    }
+
+
+def run_suite(master: str | None = None) -> dict:
+    from dude_spark.queries import queries as all_queries
+    from dude_spark.session import get_spark
+
+    spark = get_spark(app_name="dude_spark_bench", master=master)
+    qs = all_queries()
+    timings: dict = {}
+
+    crawl = run_crawl_bench(spark, SF_DIR, REPLICATE)
+    timings["crawl"] = crawl["seconds"]
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    return {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "crawl": crawl,
+        "cpus": CPUS,
+        "replicate": REPLICATE,
+    }
+
+
+def run_scaling() -> None:
+    """local[8] vs local[32] on the same input → BENCH/BASELINE.md."""
+    results = {}
+    for cpus in ("8", "32"):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_BENCH_CRAWL_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    t8 = results["8"]["crawl"]["urls_per_sec"]
+    t32 = results["32"]["crawl"]["urls_per_sec"]
+    eff = round((t32 / t8) / 4.0, 3)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — two-parallelism scaling proxy\n\n"
+            "Protocol (BASELINE.md): same crawl job, same input "
+            f"({SF_DIR}, replicate={REPLICATE}), local[8] vs local[32].\n\n"
+            "| parallelism | urls/sec | wall sec | urls fetched |\n|---|---|---|---|\n"
+            f"| local[8]  | {t8} | {results['8']['crawl']['seconds']} | {results['8']['crawl']['urls_fetched']} |\n"
+            f"| local[32] | {t32} | {results['32']['crawl']['seconds']} | {results['32']['crawl']['urls_fetched']} |\n\n"
+            f"**Scaling efficiency (T32/T8)/4 = {eff}** (north_rule target ≥ 0.8 "
+            "for N→4N executors; local-mode threads share one JVM/driver, so "
+            "this proxy under-reports true multi-executor scaling)\n"
+        )
+    print(json.dumps({"scaling_efficiency": eff, "t8": t8, "t32": t32}))
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+    if os.environ.get("SPARK_GRAFT_BENCH_CRAWL_ONLY"):
+        from dude_spark.session import get_spark
+
+        spark = get_spark(app_name="dude_spark_bench")
+        crawl = run_crawl_bench(spark, SF_DIR, REPLICATE)
+        print(json.dumps({
+            "metric": "crawl_urls_per_sec", "value": crawl["urls_per_sec"],
+            "unit": "urls/sec", "queries": {"crawl": crawl["seconds"]},
+            "sf": SF_DIR, "crawl": crawl,
+        }))
+        return
+    print(json.dumps(run_suite()))
+
+
+if __name__ == "__main__":
+    main()

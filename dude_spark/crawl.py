@@ -94,22 +94,21 @@ def assign_global_seq(
     sizing pass, so callers never need a separate ``count()``.
     """
     import pandas as pd
-    from pyspark import TaskContext
 
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     parted = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols]).sortWithinPartitions(
         *[F.col(c) for c in order_cols]
     )
+    # The partition id must travel WITH the rows: when the numbered output is
+    # later composed into a bigger plan (e.g. unioned with another DataFrame)
+    # TaskContext.partitionId() is re-indexed and would misalign the offsets.
+    parted = parted.withColumn("_pid", F.spark_partition_id())
     parted = parted.localCheckpoint(eager=True)  # pin partitioning for both passes
 
-    def count_parts(batches):
-        n = 0
-        for pdf in batches:
-            n += len(pdf)
-        pid = TaskContext.get().partitionId()
-        yield pd.DataFrame({"pid": [pid], "n": [n]})
-
-    sizes = {r["pid"]: r["n"] for r in parted.mapInPandas(count_parts, "pid int, n long").collect()}
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
     offsets = {}
     acc = start
     for pid in sorted(sizes):
@@ -117,13 +116,20 @@ def assign_global_seq(
         acc += sizes[pid]
     total = acc - start
 
-    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in parted.schema.fields)
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in parted.schema.fields
+        if f.name != "_pid"
+    )
 
     def number(batches):
-        pid = TaskContext.get().partitionId()
-        off = offsets.get(pid, 0)
+        off = None
         for pdf in batches:
-            pdf = pdf.copy()
+            if len(pdf) == 0:
+                continue
+            if off is None:
+                off = offsets[int(pdf["_pid"].iat[0])]
+            pdf = pdf.drop(columns=["_pid"])
             pdf[out_col] = range(off, off + len(pdf))
             off += len(pdf)
             yield pdf

@@ -1,0 +1,728 @@
+"""Driver-contract queries + DuckDB oracle SQL.
+
+Each entry here is an implemented operator from SURVEY.md §2 (or a
+training-data pipeline op), exposed as ``(spark, sf_dir) -> DataFrame`` with
+a matching ANSI-SQL oracle DuckDB runs over the same parquet tables.
+
+The crawl/extract queries run the REAL engine (DOM parse + selector
+kernels + crawl loop) over the synthetic page corpus, which is a pure
+projection of the ``documents`` table (see :mod:`dude_spark.corpus`); the
+oracles compute the *expected* output analytically from ``documents`` —
+closed forms of the corpus layout. Column names/types are aligned on both
+sides (driver compare hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .api import Scraper
+from .corpus import N_HOSTS, pages_df, robots_df, seeds
+from .crawl import CrawlConfig, CrawlJob
+from .extract import make_extract_iterator
+from .flatten import flatten
+from .politeness import budget_rank, compile_robots, robots_gate
+from .textops import duckdb_hash32
+from .textops.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .textops.multimodal import decode_features, synth_media
+from .textops.quality import (
+    fingerprint,
+    lang_stats,
+    predict_lang,
+    quality_score,
+    token_count,
+    train_char_ngram_profiles,
+)
+from .textops.similarity import cosine_topk, lsh_bucketed_topk
+
+# Shared oracle CTE: the corpus layout, closed-form from documents
+LAYOUT_CTE = """
+WITH layout AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         (doc_id % 20) AS host_id,
+         (doc_id // 20) AS local,
+         (doc_id % 3 + 1) AS n_groups,
+         'https://host-' || (doc_id % 20) || '.test/page-' || (doc_id // 20) || '.html' AS url,
+         count(*) OVER (PARTITION BY doc_id % 20) AS n_local
+  FROM documents
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _extraction_scraper() -> Scraper:
+    """The canonical ruleset (reference tests/test_bs4.py:25-43 shape):
+    title text + item href per .custom-group, plus an empty handler and a
+    never-matching url_match rule."""
+    app = Scraper()
+
+    @app.group(css=".custom-group")
+    @app.select(css=".title")
+    def title(element):
+        return {"title": element.text_content()}
+
+    @app.select(css=".title", group_css=".custom-group")
+    def empty(element):
+        return {}
+
+    @app.group(css=".custom-group")
+    @app.select(css=".title", url_match="https://never.example/*")
+    def url_dont_match(element):
+        return {"title": element.text_content()}
+
+    @app.select(css="a.url", group_css=".custom-group")
+    def item_href(element):
+        return {"item_href": element.get("href")}
+
+    return app
+
+
+def _extract_once(spark: SparkSession, sf_dir: str, scraper: Scraper, follow: bool = False) -> DataFrame:
+    """Single-pass extraction over every page (no crawl loop)."""
+    plan = scraper.compile()
+    pages = pages_df(spark, sf_dir)
+    it = make_extract_iterator(plan, follow_urls=follow)
+    from .extract import EXTRACT_SCHEMA
+
+    return pages.select("url", "html").mapInPandas(it, EXTRACT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# A. crawl/extract engine queries
+# ---------------------------------------------------------------------------
+
+def q_extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = _extract_once(spark, sf_dir, _extraction_scraper())
+    flat = flatten(ext, ordered=False)
+    return flat.select(
+        F.col("_page_url").alias("page_url"),
+        F.col("_group_index").cast("long").alias("group_index"),
+        F.col("_element_index").cast("long").alias("element_index"),
+        F.col("data").getItem("title").alias("title"),
+        F.col("data").getItem("item_href").alias("item_href"),
+    )
+
+
+ORACLE_EXTRACT_FLAT = LAYOUT_CTE + """
+SELECT url AS page_url,
+       (k - 1) AS group_index,
+       0 AS element_index,
+       'Title ' || doc_id || '-' || k AS title,
+       'item-' || doc_id || '-' || k || '.html' AS item_href
+FROM (SELECT *, unnest(generate_series(1, n_groups)) AS k FROM layout)
+"""
+
+
+def q_content_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identity invariant: extracted p.content text == documents.text."""
+    app = Scraper()
+
+    @app.select(css="p.content")
+    def content(element):
+        return {"content": element.text_content()}
+
+    ext = _extract_once(spark, sf_dir, app)
+    return (
+        ext.filter(F.col("kind") == "data")
+        .select(
+            F.col("page_url"),
+            F.col("data").getItem("content").alias("content"),
+        )
+    )
+
+
+ORACLE_CONTENT_IDENTITY = LAYOUT_CTE + """
+SELECT url AS page_url, text AS content FROM layout
+"""
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ext = _extract_once(spark, sf_dir, _extraction_scraper(), follow=True)
+    return (
+        ext.filter(F.col("kind") == "link")
+        .select(
+            "page_url",
+            F.col("link_seq").cast("long").alias("link_seq"),
+            F.col("link").alias("child_url"),
+        )
+    )
+
+
+ORACLE_LINK_GRAPH = LAYOUT_CTE + """
+, items AS (
+  SELECT url AS page_url, (k - 1) AS link_seq,
+         'https://host-' || host_id || '.test/item-' || doc_id || '-' || k || '.html' AS child_url
+  FROM (SELECT *, unnest(generate_series(1, n_groups)) AS k FROM layout)
+), kids AS (
+  SELECT url AS page_url,
+         n_groups + CASE WHEN c = 1 THEN 0
+                         ELSE (CASE WHEN 2*local+1 < n_local THEN 1 ELSE 0 END) END AS link_seq,
+         'https://host-' || host_id || '.test/page-' || (2*local + c) || '.html' AS child_url
+  FROM (SELECT *, unnest([1, 2]) AS c FROM layout)
+  WHERE 2*local + c < n_local
+)
+SELECT * FROM items UNION ALL SELECT * FROM kids
+"""
+
+
+def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-round crawl; trace filtered to real pages → (url, depth).
+
+    Verifies the BFS frontier, link expansion, seen-set dedupe, and the
+    robots gate in one closed-form-checkable result."""
+    app = _extraction_scraper()
+    pages = pages_df(spark, sf_dir).select("url", "html").cache()
+    job = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(follow_urls=True, max_rounds=40, round_seconds=3600),
+    )
+    res = job.run(seeds())
+    out = (
+        res.trace.filter(F.col("url").rlike(r"/page-\d+\.html$"))
+        .select("url", F.col("depth").cast("long").alias("depth"))
+    )
+    return out
+
+
+# blocked subtree: local has ancestor-or-self 7 ⇔ binary repr of (local+1)
+# starts with '1000' (=8): floor((local+1) / 2^(level-3)) = 8 for level ≥ 3
+ORACLE_CRAWL_BFS = LAYOUT_CTE + """
+SELECT url, CAST(floor(log2(local + 1)) AS BIGINT) AS depth
+FROM layout
+WHERE NOT (
+  host_id % 4 = 0 AND host_id % 5 != 4
+  AND floor(log2(local + 1)) >= 3
+  AND floor((local + 1) / pow(2, floor(log2(local + 1)) - 3)) = 8
+)
+"""
+
+
+def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-ranked per-host crawl-delay budgeting (P3) on a static
+    frontier (every page pending, seq = doc_id, round budget 10 s)."""
+    pages = pages_df(spark, sf_dir)
+    frontier = pages.select(
+        "url",
+        F.format_string("host-%d.test", "host_id").alias("host"),
+        F.floor(F.log2(F.col("local") + 1)).cast("int").alias("depth"),
+        F.col("doc_id").alias("seq"),
+    )
+    gated = robots_gate(frontier, compile_robots(robots_df(spark)))
+    ranked = budget_rank(gated, round_seconds=10)
+    return ranked.select(
+        "url",
+        F.col("host_rank").cast("long").alias("host_rank"),
+        F.col("fetch_now"),
+    )
+
+
+ORACLE_POLITENESS = LAYOUT_CTE + """
+, gated AS (
+  SELECT url, host_id,
+         CAST(floor(log2(local+1)) AS BIGINT) AS depth, doc_id AS seq,
+         (CASE WHEN host_id % 5 = 4 THEN 0 ELSE host_id % 3 END) AS delay
+  FROM layout
+  WHERE NOT (host_id % 4 = 0 AND host_id % 5 != 4 AND local = 7)
+), ranked AS (
+  SELECT url,
+         row_number() OVER (PARTITION BY host_id ORDER BY depth, seq) AS host_rank,
+         CASE WHEN delay = 0 THEN 2147483648 ELSE greatest(1, 10 // delay) END AS budget
+  FROM gated
+)
+SELECT url, host_rank, (host_rank <= budget) AS fetch_now FROM ranked
+"""
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiled robots dim gate (P2): per-host allowed page count."""
+    pages = pages_df(spark, sf_dir)
+    frontier = pages.select(
+        "url", F.format_string("host-%d.test", "host_id").alias("host")
+    )
+    gated = robots_gate(frontier, compile_robots(robots_df(spark)))
+    return (
+        gated.groupBy("host")
+        .agg(F.count("*").alias("n_allowed"), F.max("crawl_delay").cast("long").alias("crawl_delay"))
+        .select("host", "n_allowed", "crawl_delay")
+    )
+
+
+ORACLE_ROBOTS_GATE = LAYOUT_CTE + """
+SELECT 'host-' || host_id || '.test' AS host,
+       count(*) FILTER (WHERE NOT (host_id % 4 = 0 AND host_id % 5 != 4 AND local = 7)) AS n_allowed,
+       (CASE WHEN host_id % 5 = 4 THEN 0 ELSE host_id % 3 END) AS crawl_delay
+FROM layout GROUP BY host_id
+"""
+
+
+def q_flatten_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 later-wins merge: two same-group rules writing the same key —
+    the higher-priority-value (later) rule's value must survive."""
+    app = Scraper()
+
+    @app.select(css=".title", group_css=".custom-group", priority=0)
+    def first(element):
+        return {"v": "p0", "t": element.text_content()}
+
+    @app.select(css=".title", group_css=".custom-group", priority=1)
+    def later(element):
+        return {"v": "p1"}
+
+    ext = _extract_once(spark, sf_dir, app)
+    flat = flatten(ext, ordered=False)
+    return flat.select(
+        F.col("_page_url").alias("page_url"),
+        F.col("_group_index").cast("long").alias("group_index"),
+        F.col("data").getItem("v").alias("v"),
+        F.col("data").getItem("t").alias("t"),
+    )
+
+
+ORACLE_FLATTEN_MERGE = LAYOUT_CTE + """
+SELECT url AS page_url, (k - 1) AS group_index, 'p1' AS v,
+       'Title ' || doc_id || '-' || k AS t
+FROM (SELECT *, unnest(generate_series(1, n_groups)) AS k FROM layout)
+"""
+
+
+def q_pivot_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map→typed columns (A2/S8 semantics): description NULL where the
+    group has none (k=2 mirrors dude.html's group 2)."""
+    app = Scraper()
+
+    @app.select(css=".title", group_css=".custom-group")
+    def title(element):
+        return {"title": element.text_content()}
+
+    @app.select(css=".description", group_css=".custom-group")
+    def desc(element):
+        return {"description": element.text_content()}
+
+    ext = _extract_once(spark, sf_dir, app)
+    flat = flatten(ext, ordered=False)
+    return flat.select(
+        F.col("_page_url").alias("page_url"),
+        F.col("_group_index").cast("long").alias("group_index"),
+        F.col("data").getItem("title").alias("title"),
+        F.col("data").getItem("description").alias("description"),
+    )
+
+
+ORACLE_PIVOT_EXTRACT = LAYOUT_CTE + """
+SELECT url AS page_url, (k - 1) AS group_index,
+       'Title ' || doc_id || '-' || k AS title,
+       CASE WHEN k = 2 THEN NULL
+            ELSE 'Description ' || doc_id || '-' || k END AS description
+FROM (SELECT *, unnest(generate_series(1, n_groups)) AS k FROM layout)
+"""
+
+
+def q_frontier_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 seen-set semantics: duplicated candidate stream → anti-join vs the
+    seed seen-set → distinct new URLs per host."""
+    from .frontier import dedupe_candidates, seed_frontier, with_url_meta
+
+    ext = _extract_once(spark, sf_dir, _extraction_scraper(), follow=True)
+    links = ext.filter(F.col("kind") == "link").select(
+        F.col("link").alias("url"),
+        F.lit(1).alias("depth"),
+        F.col("link_seq").cast("long").alias("seq"),
+    )
+    dup_stream = links.unionAll(links)  # simulate re-discovery
+    cands = with_url_meta(dup_stream)
+    seen = seed_frontier(spark, seeds()).select("url", "url_hash")
+    deduped = dedupe_candidates(cands, seen)
+    return (
+        deduped.groupBy("host")
+        .agg(F.count("*").alias("n_new"))
+        .select("host", "n_new")
+    )
+
+
+# new urls per host = items (sum of n_groups) + real children (locals 1..n-1)
+ORACLE_FRONTIER_DEDUPE = LAYOUT_CTE + """
+SELECT 'host-' || host_id || '.test' AS host,
+       (sum(n_groups) + max(n_local) - 1) AS n_new
+FROM layout GROUP BY host_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# B. training-data pipeline queries (documents / embeddings / events)
+# ---------------------------------------------------------------------------
+
+def _docs_with_copies(spark, sf_dir, modulus: int = 5):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % modulus == 0)
+    copies = d.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    return d.unionByName(copies)
+
+
+DOCS_COPIES_CTE = """
+WITH docs2 AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, text, lang, source, n_chars FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_docs_with_copies(spark, sf_dir)).select(
+        "content_hash", F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+    )
+
+
+ORACLE_DEDUP_EXACT = DOCS_COPIES_CTE + """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM docs2 GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(_docs_with_copies(spark, sf_dir, modulus=20), k=8, bands=2)
+    return pairs.filter(F.col("n_bands_matched") >= 2).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("n_bands_matched").cast("long").alias("n_bands_matched"),
+    )
+
+
+def _oracle_minhash(k: int = 8, bands: int = 2) -> str:
+    rows = k // bands
+    hashes = ", ".join(
+        f"list_min(list_transform(sh, s -> {duckdb_hash32('s', salt=str(i))})) AS h{i}"
+        for i in range(k)
+    )
+    band_keys = []
+    for b in range(bands):
+        parts = " || '_' || ".join(f"h{b * rows + j}" for j in range(rows))
+        band_keys.append(f"SELECT doc_id, {b} AS band, ({parts}) AS key FROM sigs")
+    return (
+        "WITH docs2 AS (\n"
+        "  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 20 = 0\n"
+        "), sh AS (\n"
+        "  SELECT doc_id, list_distinct(list_transform(\n"
+        "    generate_series(1, greatest(len(t) - 2, 0)),\n"
+        "    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh\n"
+        "  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM docs2)\n"
+        f"), sigs AS (SELECT doc_id, {hashes} FROM sh)\n"
+        ", banded AS (" + " UNION ALL ".join(band_keys) + ")\n"
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_matched\n"
+        "FROM banded a JOIN banded b USING (band, key)\n"
+        "WHERE a.doc_id < b.doc_id\n"
+        "GROUP BY 1, 2 HAVING count(*) >= 2"
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    return simhash(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("simhash").cast("long").alias("simhash"),
+    )
+
+
+def _oracle_simhash(bits: int = 32) -> str:
+    csum = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS c{b}"
+        for b in range(bits)
+    )
+    simexpr = " + ".join(
+        f"(CASE WHEN c{b} * 2 > n THEN {2**b}::BIGINT ELSE 0 END)" for b in range(bits)
+    )
+    return (
+        "WITH toks AS (\n"
+        "  SELECT doc_id, unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok\n"
+        "  FROM documents WHERE doc_id < 500\n"
+        "), hashed AS (SELECT doc_id, "
+        + duckdb_hash32("tok")
+        + " AS h FROM toks)\n"
+        f", agg AS (SELECT doc_id, count(*) AS n, {csum} FROM hashed GROUP BY doc_id)\n"
+        f"SELECT doc_id, ({simexpr}) AS simhash FROM agg"
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    return ngram_jaccard_pairs(d, threshold=0.2).select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.col("inter").cast("long"),
+        "jaccard",
+    )
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, lang, source, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 2, 0)),
+    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM (SELECT doc_id, lang, source,
+        regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents WHERE doc_id < 1000)
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.s = b.s
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.2
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cosine",
+        F.col("rank").cast("long"),
+    )
+
+
+ORACLE_ANN_COSINE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+b AS (SELECT vec_id AS neighbor_id, embedding AS vec FROM embeddings),
+pairs AS (
+  SELECT query_id, neighbor_id,
+    list_sum(list_transform(generate_series(1, len(qvec)),
+             i -> qvec[i]::DOUBLE * vec[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(qvec, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(vec, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+  FROM b, q WHERE neighbor_id != query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("n_subwords").cast("long"),
+        F.col("n_chars_computed").cast("long"),
+    )
+
+
+ORACLE_TOKEN_COUNT = """
+WITH t AS (SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN []
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+       coalesce(list_sum(list_transform(toks, x -> ceil(length(x) / 4.0)::BIGINT)), 0) AS n_subwords,
+       length(text) AS n_chars_computed
+FROM t
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        "mean_word_len", "stopword_ratio", "alpha_ratio", "dup_token_ratio", "quality",
+    )
+
+
+_STOP_SQL = "['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on','as','at','by','from']"
+
+ORACLE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id, len(toks) AS n,
+    round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(toks), 6) AS mean_word_len,
+    round(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0 / len(toks), 6) AS stopword_ratio,
+    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio,
+    round(1 - len(list_distinct(toks)) * 1.0 / len(toks), 6) AS dup_token_ratio
+  FROM t
+)
+SELECT doc_id, n AS n_tokens, mean_word_len, stopword_ratio, alpha_ratio, dup_token_ratio,
+       round(least(mean_word_len / 5.0, 1.0) * least(stopword_ratio * 2 + 0.5, 1.0)
+             * alpha_ratio * (1 - dup_token_ratio * 0.5), 6) AS quality
+FROM f
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "fp_md5", F.col("fp32").cast("long")
+    )
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5,
+       ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8))::BIGINT AS fp32
+FROM documents
+"""
+
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_stats(_docs(spark, sf_dir)).select(
+        "lang", F.col("n_docs").cast("long"), "avg_chars",
+        F.col("min_chars").cast("long"), F.col("max_chars").cast("long"),
+        F.col("n_sources").cast("long"),
+    )
+
+
+ORACLE_LANG_STATS = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over the events stream table: 30-min inactivity gap."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional epoch seconds (micros kept); ts is TIMESTAMP_NTZ in the
+    # parquet — route through timestamp (session TZ pinned to UTC)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = F.when(
+        (epoch - F.lag(epoch).over(w)) > 1800, 1
+    ).otherwise(0)
+    with_sess = ev.withColumn(
+        "session_id", F.sum(F.coalesce(gap, F.lit(0))).over(w)
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.floor(F.min(F.col("ts").cast("timestamp").cast("double"))).alias("t_start"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("user_id").cast("long"),
+            F.col("session_id").cast("long"),
+            F.col("n_events").cast("long"),
+            F.col("t_start").cast("long"),
+            "total_value",
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       floor(min(epoch(ts)))::BIGINT AS t_start, round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# -- rows-only (non-SQL-expressible) queries --------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    profiles = train_char_ngram_profiles(train)
+    return predict_lang(docs.filter(F.col("doc_id") % 10 >= 8), profiles)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synth_media(_docs(spark, sf_dir).filter(F.col("doc_id") < 1000))
+    return decode_features(media)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(emb, queries, k=5, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # crawl/extract engine
+        "extract_flat": q_extract_flat,
+        "content_identity": q_content_identity,
+        "link_graph": q_link_graph,
+        "crawl_bfs": q_crawl_bfs,
+        "politeness_budget": q_politeness_budget,
+        "robots_gate": q_robots_gate,
+        "flatten_merge": q_flatten_merge,
+        "pivot_extract": q_pivot_extract,
+        "frontier_dedupe": q_frontier_dedupe,
+        # training-data pipeline
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_fingerprint,
+        "lang_stats": q_lang_stats,
+        "sessionize": q_sessionize,
+        # rows-only (no SQL equivalent)
+        "lang_id_ngram": q_lang_id,
+        "multimodal_decode": q_multimodal_decode,
+        "ann_lsh_topk": q_ann_lsh,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {
+        "extract_flat": ORACLE_EXTRACT_FLAT,
+        "content_identity": ORACLE_CONTENT_IDENTITY,
+        "link_graph": ORACLE_LINK_GRAPH,
+        "crawl_bfs": ORACLE_CRAWL_BFS,
+        "politeness_budget": ORACLE_POLITENESS,
+        "robots_gate": ORACLE_ROBOTS_GATE,
+        "flatten_merge": ORACLE_FLATTEN_MERGE,
+        "pivot_extract": ORACLE_PIVOT_EXTRACT,
+        "frontier_dedupe": ORACLE_FRONTIER_DEDUPE,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_minhash_lsh": _oracle_minhash(),
+        "dedup_simhash": _oracle_simhash(),
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "ann_cosine_topk": ORACLE_ANN_COSINE,
+        "token_count": ORACLE_TOKEN_COUNT,
+        "quality_score": ORACLE_QUALITY,
+        "doc_fingerprint": ORACLE_FINGERPRINT,
+        "lang_stats": ORACLE_LANG_STATS,
+        "sessionize": ORACLE_SESSIONIZE,
+    }

@@ -1,0 +1,181 @@
+"""Deduplication operators over a document table (doc_id, text, ...).
+
+All variants are single-pass column pipelines + one hash aggregate — the
+shapes that survive a 100 TB corpus:
+
+- **exact**: md5 of normalized text, groupBy hash. One shuffle on a 32-byte
+  key; map-side partial agg free from Catalyst.
+- **MinHash + LSH**: word-shingles → K portable min-hashes per doc (computed
+  inside one projection — no explode), banded into B buckets; candidate
+  pairs only materialize per-bucket (self-join within tiny buckets).
+- **SimHash**: per-token 32-bit hashes, bit-majority vote computed as 32
+  conditional aggregates in ONE groupBy — no per-bit row explosion.
+- **n-gram Jaccard**: exact pair verification via distinct (doc, shingle)
+  explode + equi-join on shingle — the standard verify stage after LSH.
+
+Hashes are md5-derived (portable_hash32) so DuckDB oracles reproduce them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from . import portable_hash32
+
+DEFAULT_K = 16        # minhash signature length
+DEFAULT_BANDS = 4     # LSH bands (rows per band = K / BANDS)
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + collapse whitespace + trim (shared by all dedupe variants)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (array<string>)."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedupe: groups of byte-identical (normalized) texts.
+
+    Returns (content_hash, n_docs, min_doc_id) for groups with n_docs > 1.
+    """
+    return (
+        docs.select(
+            F.col("doc_id"), F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signature(
+    docs: DataFrame, text_col: str = "text", k: int = DEFAULT_K, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, sig array<bigint>[k]) — min over shingle hashes per function.
+
+    K hash functions = one md5 per (salt i, shingle); all inside a single
+    projection over the shingle array (no explode, no shuffle).
+    """
+    sh = word_shingles(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: portable_hash32(s, salt=str(i)))
+            )
+            for i in range(k)
+        ]
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH on the minhash signature.
+
+    A pair is emitted once per matching band then distinct'd; output
+    (doc_a, doc_b, n_bands_matched). The per-band bucket join shuffles on
+    the band signature string — tiny keys, broadcast-able dimension-free.
+    """
+    sig = minhash_signature(docs, text_col, k, shingle_n)
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        part = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *[
+                F.element_at(part, j + 1).cast("string") for j in range(rows_per_band)
+            ]).alias("key"))
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+    return pairs
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash bigint): bit-majority of per-token 32-bit hashes.
+
+    Computed as ``bits`` conditional sums inside one hash aggregate over the
+    exploded token stream — one shuffle on doc_id, no bit-explosion.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", portable_hash32(F.col("tok")))
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = bit if sim is None else (sim + bit)
+    return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    bucket_cols: tuple = ("lang", "source"),
+) -> DataFrame:
+    """Exact Jaccard over distinct word-shingle sets, within candidate
+    buckets (default: same lang+source) — the verify stage after LSH, or a
+    standalone exact near-dup detector on pre-bucketed corpora.
+
+    Pure relational: explode distinct (doc, shingle), equi-join on shingle
+    (+ bucket) → intersection counts; sizes joined back for the union.
+    """
+    base = docs.select("doc_id", *bucket_cols, word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = base.select("doc_id", *bucket_cols, F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, on=[*bucket_cols, "s"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )

@@ -1,0 +1,165 @@
+"""Text analysis: token counting, quality scoring, language-ID, document
+fingerprinting. Hot paths are pure column expressions (portable to a DuckDB
+oracle); the char-ngram language model is the one Arrow-batched UDF here.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that "
+    "with for on as at by from"
+).split()
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (ceil(chars/4) per token,
+    the common ~4-chars-per-token heuristic) — both as column expressions.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = F.when(F.trim(F.col(text_col)) == "", 0).otherwise(F.size(toks))
+    n_sub = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("bigint"),
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_sub.alias("n_subwords"),
+        F.length(F.col(text_col)).alias("n_chars_computed"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + composite score:
+
+    - mean word length (2..12 considered healthy)
+    - stopword ratio (natural text ≈ 0.2-0.6)
+    - alpha ratio (letters / chars)
+    - duplicate-token ratio (1 - distinct/total) — boilerplate signal
+    Score = product of clamped feature terms, rounded 6dp.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    mean_wl = F.round(F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n, 6)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = F.round(n_stop / n, 6)
+    alpha_ratio = F.round(
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+        / F.greatest(F.length(F.col(text_col)), F.lit(1)),
+        6,
+    )
+    dup_ratio = F.round(1 - F.size(F.array_distinct(toks)) / n, 6)
+    score = F.round(
+        F.least(mean_wl / 5.0, F.lit(1.0))
+        * F.least(stop_ratio * 2 + 0.5, F.lit(1.0))
+        * alpha_ratio
+        * (1 - dup_ratio * 0.5),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        dup_ratio.alias("dup_token_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint (md5 of lower+collapsed-ws text) plus
+    a 64-bit prefix as bigint — the join key for cross-corpus exact dedupe."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    h = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        h.alias("fp_md5"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("fp32"),
+    )
+
+
+def lang_stats(docs: DataFrame) -> DataFrame:
+    """Per-language corpus profile (counts, length stats, source spread)."""
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID: char-trigram centroid classifier (train on a split, predict
+# with a vectorized pandas UDF). Not SQL-expressible → covered by a
+# self-accuracy pytest instead of a DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+def train_char_ngram_profiles(docs: DataFrame, n: int = 3, top: int = 200) -> dict:
+    """Per-language top-N char-ngram frequency profile (driver-side dict,
+    meant to be tiny: langs × top)."""
+    grams = docs.selectExpr(
+        "lang",
+        f"explode(transform(sequence(1, greatest(length(text)-{n-1}, 0)),"
+        f" i -> substring(text, i, {n}))) AS g",
+    )
+    counts = grams.groupBy("lang", "g").count()
+    rows = counts.collect()
+    prof: dict = {}
+    for r in rows:
+        prof.setdefault(r["lang"], {})[r["g"]] = r["count"]
+    out = {}
+    for lang, d in prof.items():
+        top_items = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+        total = sum(v for _, v in top_items) or 1
+        out[lang] = {g: v / total for g, v in top_items}
+    return out
+
+
+def predict_lang(docs: DataFrame, profiles: dict, n: int = 3) -> DataFrame:
+    """Cosine similarity of each doc's char-ngram counts vs the language
+    centroids; Arrow-batched pandas UDF (profiles broadcast in the closure)."""
+    langs = sorted(profiles)
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        from collections import Counter
+
+        pnorm = {
+            lang: math.sqrt(sum(v * v for v in prof.values()))
+            for lang, prof in profiles.items()
+        }
+        for pdf in batches:
+            preds, scores = [], []
+            for text in pdf["text"]:
+                t = text or ""
+                c = Counter(t[i : i + n] for i in range(max(len(t) - n + 1, 0)))
+                dnorm = math.sqrt(sum(v * v for v in c.values())) or 1.0
+                best, best_s = "", -1.0
+                for lang in langs:
+                    prof = profiles[lang]
+                    dot = sum(v * prof.get(g, 0.0) for g, v in c.items())
+                    s = dot / (dnorm * pnorm[lang]) if pnorm[lang] else 0.0
+                    if s > best_s:
+                        best, best_s = lang, s
+                preds.append(best)
+                scores.append(round(best_s, 6))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "pred_lang": preds, "lang_score": scores}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        it, "doc_id long, pred_lang string, lang_score double"
+    )

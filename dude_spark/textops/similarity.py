@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the base table; per-row dot products via ``zip_with`` +
+  ``aggregate`` (JVM-side, codegen'd — no Python). The O(Q·N) baseline.
+- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane (sign-LSH)
+  bucketing; only same-bucket pairs are scored. Probe multiplicity via
+  ``n_planes`` choices; recall/cost dial documented in the docstring.
+
+All arithmetic in float64 with deterministic left-to-right array folds so a
+DuckDB oracle reproduces scores to 1e-12 (outputs round to 6 dp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from . import portable_hash32
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(pairs: DataFrame, a_col: str = "qvec", b_col: str = "vec") -> DataFrame:
+    cos = _dot(F.col(a_col), F.col(b_col)) / (_norm(F.col(a_col)) * _norm(F.col(b_col)))
+    return pairs.withColumn("cosine", F.round(cos, 6))
+
+
+def cosine_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (brute force).
+
+    ``queries`` is broadcast (must be small); the scan over ``base`` is a
+    single map-side pass, then one shuffle for the per-query top-k window.
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k, self excluded,
+    ties broken by neighbor_id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    b = base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    pairs = b.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = with_cosine(pairs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def signlsh_bucket(vec_col, n_planes: int = 8, dim: int = 64, seed: str = "lsh"):
+    """Random-hyperplane bucket id: sign pattern of ``n_planes`` pseudo-random
+    projections. Hyperplanes are derived deterministically from
+    portable hashes of (seed, plane, coordinate) — reproducible everywhere,
+    no stored model."""
+    bucket = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        # pseudo-random ±1 plane: sign((hash(seed,p,i) % 2)*2 - 1)
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x.cast("double")
+                * (
+                    (portable_hash32(i.cast("string"), salt=f"{seed}:{p}") % 2) * 2 - 1
+                ).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only pairs sharing a sign-LSH bucket in at
+    least one of ``n_tables`` independent hash tables (standard multi-table
+    LSH — each table = ``n_planes`` hyperplanes, so a 10^10-row base shards
+    into ~2^p buckets per table; the (table, bucket) equi-join replaces the
+    cross join at expected cost L·N·Q/2^p). More tables → higher recall;
+    more planes → fewer comparisons.
+    """
+
+    def with_buckets(df, idc, vc, out_id, out_vec):
+        buckets = F.array(
+            *[
+                signlsh_bucket(F.col(vc), n_planes, dim, seed=f"lsh{t}")
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col(vc).alias(out_vec),
+            F.posexplode(buckets).alias("table", "bucket"),
+        )
+
+    b = with_buckets(base, id_col, vec_col, "neighbor_id", "vec")
+    q = with_buckets(queries, id_col, vec_col, "query_id", "qvec")
+    pairs = (
+        b.join(F.broadcast(q), on=["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qvec", "neighbor_id", "vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = with_cosine(pairs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,181 @@
+"""Spark-side integration tests: crawl loop, ordering parity vs a faithful
+reference simulator, flatten semantics, resumability."""
+
+import collections
+import re
+from urllib.parse import urljoin, urlparse
+
+import pytest
+
+from dude_spark.api import Scraper
+from dude_spark.corpus import pages_df, robots_df, seeds
+from dude_spark.crawl import CrawlConfig, CrawlJob, assign_global_seq
+from dude_spark.dom import parse_html
+from dude_spark.extract import extract_links
+from dude_spark.flatten import flatten
+
+SF = "/root/testdata/sf0.001"
+
+
+def make_scraper():
+    app = Scraper()
+
+    @app.group(css=".custom-group")
+    @app.select(css=".title")
+    def title(element):
+        return {"title": element.text_content()}
+
+    @app.select(css="a.url", group_css=".custom-group")
+    def item_href(element):
+        return {"item_href": element.get("href")}
+
+    return app
+
+
+def reference_fifo_crawl(pages: dict, seed_urls, robots: dict):
+    """Faithful simulation of the reference loop (dude/base.py:361-376 +
+    beautifulsoup_scraper.py:58-94): FIFO deque, allowed-domains filter,
+    robots can_fetch skip, fetch (miss → skip), follow a[href] links with
+    self-link filter. The corpus is acyclic & duplicate-free, so the
+    reference's lack of a seen-set yields each URL at most once — matching
+    our dedupe='seen' engine exactly (SURVEY §7.3).
+    """
+    from urllib.robotparser import RobotFileParser
+
+    allowed = {urlparse(u).netloc for u in seed_urls}
+    frontier = collections.deque(seed_urls)
+    fetched = []
+    parsers = {}
+    while frontier:
+        url = frontier.popleft()
+        host = urlparse(url).netloc
+        if host not in allowed:
+            continue
+        if host in robots:
+            if host not in parsers:
+                p = RobotFileParser()
+                p.parse(robots[host].splitlines())
+                parsers[host] = p
+            if not parsers[host].can_fetch("dude", url):
+                continue
+        fetched.append(url)
+        html = pages.get(url)
+        if html is None:
+            continue
+        root = parse_html(html)
+        for link in extract_links(root, url):
+            frontier.append(link)
+    return fetched
+
+
+@pytest.fixture(scope="module")
+def crawl_result(spark):
+    app = make_scraper()
+    pages = pages_df(spark, SF).select("url", "html").cache()
+    job = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(follow_urls=True, max_rounds=40, round_seconds=3600),
+    )
+    return job.run(seeds()), pages
+
+
+def test_crawl_ordering_parity_with_reference(spark, crawl_result):
+    """north_rule gate: same crawl ordering + URL-seen set as the reference
+    under the same seed list."""
+    res, pages = crawl_result
+    page_map = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    robots = {
+        r["host"]: r["robots_txt"] for r in robots_df(spark).collect()
+    }
+    expected = reference_fifo_crawl(page_map, seeds(), robots)
+    ours = [r["url"] for r in res.trace.orderBy("seq").collect()]
+    # seen set identical
+    assert set(ours) == set(expected)
+    # BUT the reference's FIFO pops one URL at a time; our engine fetches a
+    # whole frontier level per round. Within the engine's (depth, seq) order
+    # the sequence must be *exactly* the reference's FIFO order:
+    assert ours == expected
+
+
+def test_crawl_fetches_robots_blocked_subtree_never(crawl_result):
+    res, _ = crawl_result
+    blocked = res.trace.filter(
+        "url like 'https://host-0.test/page-7.html' or "
+        "url like 'https://host-0.test/page-15.html' or "
+        "url like 'https://host-0.test/page-16.html'"
+    ).count()
+    assert blocked == 0
+
+
+def test_crawl_results_match_closed_form(crawl_result):
+    res, _ = crawl_result
+    # 500 pages - 4 robots-gated hosts × 3-page blocked subtree
+    assert res.results.select("page_url").distinct().count() == 488
+
+
+def test_flatten_spark_matches_reference_shape(spark, crawl_result):
+    res, _ = crawl_result
+    flat = flatten(res.results)
+    row = flat.filter("_page_url = 'https://host-1.test/page-0.html'").collect()
+    # doc_id=1 → n_groups=2
+    assert len(row) == 2
+    assert row[0]["_group_index"] == 0 and row[1]["_group_index"] == 1
+    assert row[0]["data"]["title"] == "Title 1-1"
+    assert row[0]["data"]["item_href"] == "item-1-1.html"
+
+
+def test_assign_global_seq_dense_and_ordered(spark):
+    df = spark.range(1000).selectExpr("id AS a", "(999 - id) AS b")
+    out, total = assign_global_seq(df, ["b"], start=100)
+    assert total == 1000
+    rows = out.orderBy("seq").collect()
+    assert [r["seq"] for r in rows[:3]] == [100, 101, 102]
+    # seq follows the order column
+    assert rows[0]["b"] == 0 and rows[-1]["b"] == 999
+
+
+def test_resume_continues_from_checkpoint(spark, tmp_path):
+    app = make_scraper()
+    pages = pages_df(spark, SF).select("url", "html")
+    state = str(tmp_path / "state")
+    # run only 2 rounds, then resume to completion
+    job = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(max_rounds=2, round_seconds=3600, state_dir=state),
+    )
+    partial = job.run(seeds())
+    assert len(partial.metrics) == 2
+    job2 = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(max_rounds=40, round_seconds=3600, state_dir=state),
+    )
+    rest = job2.run(seeds(), resume=True)
+    total_urls = set(
+        r["url"] for r in partial.trace.select("url").collect()
+    ) | set(r["url"] for r in rest.trace.select("url").collect())
+    # full-crawl seen set reached across the two runs
+    full = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(max_rounds=40, round_seconds=3600),
+    ).run(seeds())
+    assert total_urls == {r["url"] for r in full.trace.select("url").collect()}
+
+
+def test_politeness_defers_but_completes(spark):
+    """Tiny budget → many rounds, same final fetched set."""
+    app = make_scraper()
+    pages = pages_df(spark, SF).select("url", "html")
+    job = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(max_rounds=64, round_seconds=30),
+    )
+    res = job.run(seeds())
+    # delay-2 hosts get 15 fetches/round under round_seconds=30 → must defer
+    assert any(m.deferred > 0 for m in res.metrics)
+    full = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(max_rounds=64, round_seconds=3600),
+    ).run(seeds())
+    assert {r["url"] for r in res.trace.collect()} == {
+        r["url"] for r in full.trace.collect()
+    }
