@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "4"))
+# page weight: filler paragraphs per page (~300 B each) → realistic
+# Common-Crawl-ish page sizes so the bench is parse-bound, not overhead-bound
+PAD = int(os.environ.get("SPARK_GRAFT_PAD", "150"))
 
 BENCH_QUERIES = [
     "extract_flat",
@@ -43,9 +46,9 @@ BENCH_QUERIES = [
 ]
 
 
-def replicated_pages(spark, sf_dir: str, factor: int):
+def replicated_pages(spark, sf_dir: str, factor: int, pad: int = PAD):
     """Scale the corpus ×factor: doc_id' = doc_id + r*N keeps the layout's
-    closed forms (same 20 hosts, deeper trees)."""
+    closed forms (same 20 hosts, deeper trees). ``pad`` sets page weight."""
     from pyspark.sql import functions as F
 
     from dude_spark.corpus import pages_df
@@ -71,7 +74,7 @@ def replicated_pages(spark, sf_dir: str, factor: int):
         os.symlink(tmp, dst)
     from dude_spark.corpus import pages_df as _pages
 
-    return _pages(spark, link)
+    return _pages(spark, link, pad=pad)
 
 
 def run_crawl_bench(spark, sf_dir: str, replicate: int) -> dict:

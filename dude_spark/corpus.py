@@ -64,8 +64,15 @@ def _group_block(k: int):
     return F.concat(block, F.lit("</div>\n"))
 
 
-def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet → pages(url, warc_ts, html, text, lang) + layout cols."""
+def pages_df(spark: SparkSession, sf_dir: str, pad: int = 0) -> DataFrame:
+    """documents.parquet → pages(url, warc_ts, html, text, lang) + layout cols.
+
+    ``pad`` appends that many deterministic ``p.filler`` paragraphs (each the
+    document's text prefixed by its ordinal) — no selector in any
+    query/oracle touches ``.filler``, so extraction outputs are unchanged
+    while page weight approaches real Common-Crawl pages (~50-150 KB) for
+    representative parse cost in benchmarks.
+    """
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     d = (
         docs.withColumn("host_id", (F.col("doc_id") % N_HOSTS).cast("int"))
@@ -100,6 +107,19 @@ def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.format_string('<div><a class="self" href="page-%d.html">Self</a></div>\n', F.col("local")),
     )
+    filler = F.lit("")
+    if pad > 0:
+        filler = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(pad)),
+                lambda j: F.concat(
+                    F.lit('<p class="filler">'),
+                    j.cast("string"), F.lit(" "), esc,
+                    F.lit("</p>\n"),
+                ),
+            ),
+            "",
+        )
     html = F.concat(
         F.lit("<!DOCTYPE html>\n<html lang=\""),
         F.col("lang"),
@@ -110,6 +130,7 @@ def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('<p class="content">'),
         esc,
         F.lit("</p>\n"),
+        filler,
         links_html,
         F.lit("</body>\n</html>\n"),
     )

@@ -44,7 +44,7 @@ from .frontier import (
     seed_frontier,
     with_url_meta,
 )
-from .politeness import budget_rank, compile_robots, robots_gate
+from .politeness import adblock_filter, budget_rank, compile_robots, robots_gate
 
 RESULT_SCHEMA = EXTRACT_SCHEMA + ", depth int, seq bigint, round int"
 
@@ -53,6 +53,8 @@ RESULT_SCHEMA = EXTRACT_SCHEMA + ", depth int, seq bigint, round int"
 class CrawlConfig:
     follow_urls: bool = True
     link_mode: str = "anchors"  # 'anchors' (bs4) | 'all' (lxml iterlinks)
+    pages: int = 1               # S6: navigate-loop page cap per URL (scraper.py:35)
+    adblock_rules: Optional[List[str]] = None  # P4 blocklist
     max_rounds: int = 64
     round_seconds: int = 60          # politeness budget window per round
     max_per_host: Optional[int] = None
@@ -60,6 +62,12 @@ class CrawlConfig:
     state_dir: Optional[str] = None  # parquet round checkpoints (resumable)
     ignore_robots_txt: bool = False
     frontier_partitions: Optional[int] = None
+    # materialize the gated+ranked frontier per round. False (default) keeps
+    # the round at ~5 Spark jobs — the gate/rank pipeline is narrow and
+    # re-evaluates cheaply from the frontier checkpoint. Set True when the
+    # per-round frontier is huge enough that recomputing the politeness
+    # window twice costs more than one extra materialization.
+    persist_ranked: bool = False
 
 
 @dataclass
@@ -96,6 +104,10 @@ def assign_global_seq(
     import pandas as pd
 
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    # NOTE: repartitionByRange samples its input to pick boundaries, so the
+    # upstream pipeline is evaluated twice. Callers should hand in a plan
+    # anchored on checkpointed/cached data (the crawl loop reads from the
+    # round's extraction checkpoint, so the re-evaluated part is narrow).
     parted = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols]).sortWithinPartitions(
         *[F.col(c) for c in order_cols]
     )
@@ -239,12 +251,14 @@ class CrawlJob:
                 break
 
             gated = allowed_domains_filter(frontier, allowed_hosts)
+            if cfg.adblock_rules:
+                gated = adblock_filter(gated, cfg.adblock_rules)
             gated = robots_gate(gated, compiled_robots)
             ranked = budget_rank(
                 gated, round_seconds=cfg.round_seconds, max_per_host=cfg.max_per_host
             )
-            # one materialization per round; everything below derives from it
-            ranked = self._persist(ranked, "ranked", rnd)
+            if cfg.persist_ranked:
+                ranked = self._persist(ranked, "ranked", rnd)
             fetch_set = ranked.filter(F.col("fetch_now")).select(*FRONTIER_COLS)
             deferred = (
                 ranked.filter(~F.col("fetch_now"))
@@ -260,10 +274,42 @@ class CrawlJob:
             # bucketed by url_hash (SURVEY §2.6).
             fetched = fetch_set.join(self.pages, on="url", how="inner")
 
+            self.scraper.run_event("pre-setup")
             extracted = fetched.select("url", "html", "depth", "seq").mapInPandas(
                 extract_it, schema=result_schema
             )
             extracted = self._persist(extracted, "extracted", rnd)
+            self.scraper.run_event("post-setup")
+
+            extractions = [extracted]
+            # S6 navigate loop: re-extract up to cfg.pages times following the
+            # first matching navigate rule (driver-bounded sub-loop; stops on
+            # no-match/unchanged URL — the kernel already applies O4)
+            if cfg.pages > 1 and self.plan.navigate_rules:
+                current = extracted
+                for pn in range(2, cfg.pages + 1):
+                    nav = (
+                        current.filter(F.col("kind") == "navigate")
+                        .select(
+                            canonicalize(F.col("link")).alias("url"),
+                            "depth", "seq",
+                        )
+                        .dropDuplicates(["url"])
+                    )
+                    fetched_n = nav.join(self.pages, on="url", how="inner")
+                    if fetched_n.isEmpty():
+                        break
+                    current = self._persist(
+                        fetched_n.select("url", "html", "depth", "seq")
+                        .withColumn("page_number", F.lit(pn))
+                        .mapInPandas(extract_it, schema=result_schema),
+                        f"extracted_p{pn}", rnd,
+                    )
+                    extractions.append(current)
+                if len(extractions) > 1:
+                    extracted = extractions[0]
+                    for e in extractions[1:]:
+                        extracted = extracted.unionByName(e)
 
             data_rows = extracted.filter(F.col("kind") == "data").withColumn(
                 "round", F.lit(rnd)

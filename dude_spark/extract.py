@@ -100,6 +100,40 @@ def collect_elements(
                     rule_seq += 1
 
 
+def run_setup_rules(plan: CompiledPlan, root: Element, url: str) -> None:
+    """E8 setup phase (``@select(..., setup=True)``, ``base.py:147``):
+    handlers run per matched element *before* scraping, priority-sorted
+    (``base.py:604-605``). The reference clicks/mutates the live DOM
+    (``playwright_scraper.py:71-101``); here handlers mutate the parsed tree
+    in place (``element.attrib[...] = ...``, append/remove children) — a
+    pure DOM transform, the page-table analogue of a browser click."""
+    for rule in plan.setup_rules:
+        if not _url_matches(rule.url_matcher, url):
+            continue
+        for element in select(root, rule.selector.selector_type(), rule.selector.to_str()):
+            rule.handler(element)
+
+
+def evaluate_navigate(plan: CompiledPlan, root: Element, url: str) -> Optional[str]:
+    """E9/O4 navigate phase: first element of the first matching navigate
+    rule decides the next page (``playwright_scraper.py:103-129`` returns
+    True after clicking the first match — our page-table analogue: the
+    handler returns the next URL, or the element's href is used)."""
+    for rule in plan.navigate_rules:
+        if not _url_matches(rule.url_matcher, url):
+            continue
+        for element in select(root, rule.selector.selector_type(), rule.selector.to_str()):
+            nxt = rule.handler(element) if rule.handler else element.get("href")
+            if isinstance(nxt, dict):
+                nxt = nxt.get("__next__")
+            if nxt:
+                from urllib.parse import urljoin
+
+                return urljoin(url, str(nxt))
+            return None  # first match decides (O4)
+    return None
+
+
 def extract_page(
     plan: CompiledPlan,
     url: str,
@@ -111,6 +145,8 @@ def extract_page(
     """One page → extraction rows + (optionally) link rows. Pure function;
     runs inside the Arrow batch kernel."""
     root = parse_html(html)
+    if plan.setup_rules:
+        run_setup_rules(plan, root, url)
     rows: List[dict] = []
     for page_url, group_index, group_id, element_index, rule_seq, element, rule in collect_elements(
         plan, root, url
@@ -161,6 +197,17 @@ def extract_page(
                 kind="link", link=link, link_seq=i,
             )
         )
+    if plan.navigate_rules:
+        nxt = evaluate_navigate(plan, root, url)
+        # stop when no match or URL unchanged (playwright_scraper.py:197)
+        if nxt and nxt.rstrip("/") != url.rstrip("/"):
+            rows.append(
+                dict(
+                    page_url=url, page_number=page_number, group_id=-1,
+                    group_index=-1, element_index=-1, rule_seq=-1, data=None,
+                    kind="navigate", link=nxt, link_seq=0,
+                )
+            )
     return rows
 
 

@@ -107,18 +107,44 @@ def robots_gate(frontier: DataFrame, compiled_robots: Optional[DataFrame]) -> Da
     )
 
 
-def budget_rank(
-    frontier: DataFrame,
-    round_seconds: int = 60,
-    max_per_host: Optional[int] = None,
-) -> DataFrame:
-    """P3: split the round's frontier into fetch-now vs deferred.
+def adblock_filter(frontier: DataFrame, rules: list[str]) -> DataFrame:
+    """P4: drop URLs matching a blocklist (reference wraps ``braveblock``
+    with Brave/ABP lists — ``optional/utils.py:31-46``, blocked-url test
+    ``tests/test_bs4.py:340-371``).
 
-    Adds ``host_rank`` (FIFO order within host) and ``fetch_now`` boolean.
-    Budget per host = floor(round_seconds / crawl_delay) (unlimited for
-    delay 0), optionally capped by ``max_per_host`` (hot-host cap).
+    Supported rule subset (covers the reference's test usage, which blocks
+    an explicit URL): ``||domain^`` anchors a host (and subdomains); strings
+    starting ``/`` and ending ``/`` are regexes; anything else is a
+    substring match. Compiled once to a single JVM-side regex alternation —
+    no Python in the per-URL path.
     """
-    w = Window.partitionBy("host").orderBy("depth", "seq")
+    import re as _re
+
+    if not rules:
+        return frontier
+    host_rules, parts = [], []
+    for r in rules:
+        if r.startswith("||"):
+            dom = r[2:].rstrip("^")
+            host_rules.append(dom)
+        elif len(r) > 1 and r.startswith("/") and r.endswith("/"):
+            parts.append(r[1:-1])
+        else:
+            parts.append(_re.escape(r))
+    out = frontier
+    if parts:
+        out = out.filter(~F.col("url").rlike("|".join(parts)))
+    if host_rules:
+        dom_re = "|".join(_re.escape(d) for d in host_rules)
+        out = out.filter(
+            ~F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit("")).rlike(
+                rf"(^|\.)({dom_re})$"
+            )
+        )
+    return out
+
+
+def _budget_expr(round_seconds: int, max_per_host: Optional[int]):
     # liveness floor of 1: a delay larger than the round window would
     # otherwise starve the host forever (the reference just sleeps longer,
     # base.py:372); one fetch per round ≙ effective delay = round_seconds.
@@ -128,6 +154,47 @@ def budget_rank(
     ).otherwise(F.lit(2**31))
     if max_per_host is not None:
         budget = F.least(budget, F.lit(max_per_host))
-    return frontier.withColumn("host_rank", F.row_number().over(w)).withColumn(
+    return budget
+
+
+def budget_rank(
+    frontier: DataFrame,
+    round_seconds: int = 60,
+    max_per_host: Optional[int] = None,
+    exact_ranks: bool = False,
+) -> DataFrame:
+    """P3: split the round's frontier into fetch-now vs deferred.
+
+    Adds ``host_rank`` (FIFO order within host) and ``fetch_now`` boolean.
+    Budget per host = floor(round_seconds / crawl_delay) (unlimited for
+    delay 0), optionally capped by ``max_per_host`` (hot-host cap).
+
+    Skew engineering (SURVEY §4.3): the window sort is only *semantically
+    needed* for hosts whose pending count exceeds their budget. By default
+    the frontier is first reduced to per-host counts (partial-agg shuffle of
+    ~|hosts| rows) and only over-budget ("hot") hosts pay the full-row
+    window; under-budget hosts pass with ``host_rank = NULL, fetch_now =
+    true``. ``exact_ranks=True`` ranks every host (reference-faithful
+    output, used by the oracle-checked politeness query).
+    """
+    budget = _budget_expr(round_seconds, max_per_host)
+    w = Window.partitionBy("host").orderBy("depth", "seq")
+    if exact_ranks:
+        return frontier.withColumn("host_rank", F.row_number().over(w)).withColumn(
+            "fetch_now", F.col("host_rank") <= budget
+        )
+    hot_hosts = (
+        frontier.groupBy("host", "crawl_delay")
+        .agg(F.count("*").alias("n_pending"))
+        .filter(F.col("n_pending") > budget)
+        .select("host")
+    )
+    hot = frontier.join(F.broadcast(hot_hosts), on="host", how="left_semi")
+    cold = frontier.join(F.broadcast(hot_hosts), on="host", how="left_anti")
+    ranked_hot = hot.withColumn("host_rank", F.row_number().over(w)).withColumn(
         "fetch_now", F.col("host_rank") <= budget
     )
+    passed_cold = cold.withColumn(
+        "host_rank", F.lit(None).cast("int")
+    ).withColumn("fetch_now", F.lit(True))
+    return ranked_hot.unionByName(passed_cold)

@@ -222,7 +222,7 @@ def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("seq"),
     )
     gated = robots_gate(frontier, compile_robots(robots_df(spark)))
-    ranked = budget_rank(gated, round_seconds=10)
+    ranked = budget_rank(gated, round_seconds=10, exact_ranks=True)
     return ranked.select(
         "url",
         F.col("host_rank").cast("long").alias("host_rank"),

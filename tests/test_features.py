@@ -1,0 +1,167 @@
+"""Setup rules (E8), navigate/pages loop (S6/E9/O4), adblock (P4), CLI."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dude_spark.api import Scraper
+from dude_spark.corpus import pages_df, robots_df, seeds
+from dude_spark.crawl import CrawlConfig, CrawlJob
+from dude_spark.extract import extract_page
+from dude_spark.flatten import flatten
+from dude_spark.politeness import adblock_filter
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_setup_rule_mutates_dom_before_scrape(dude_html):
+    app = Scraper()
+
+    @app.select(css=".custom-group", setup=True)
+    def mark(element):
+        element.attrib["data-marked"] = "yes"
+
+    @app.select(css=".custom-group")
+    def read(element):
+        return {"marked": element.get("data-marked") or "no"}
+
+    rows = [r for r in extract_page(app.compile(), "https://x/", dude_html) if r["kind"] == "data"]
+    assert [r["data"]["marked"] for r in rows] == ["yes"] * 3
+
+
+def test_setup_priority_order(dude_html):
+    app = Scraper()
+    calls = []
+
+    @app.select(css=":root", setup=True, priority=5)
+    def second(element):
+        element.attrib["v"] = element.get("v", "") + "b"
+
+    @app.select(css=":root", setup=True, priority=1)
+    def first(element):
+        element.attrib["v"] = element.get("v", "") + "a"
+
+    @app.select(css=":root")
+    def read(element):
+        return {"v": element.get("v")}
+
+    rows = [r for r in extract_page(app.compile(), "https://x/", dude_html) if r["kind"] == "data"]
+    assert rows[0]["data"]["v"] == "ab"  # priority asc (base.py:604-605)
+
+
+def test_navigate_emits_next_and_stops_on_self(dude_html):
+    app = Scraper()
+
+    @app.select(css="a", navigate=True)
+    def nav(element):
+        return element.get("href")
+
+    @app.select(css=".title")
+    def t(element):
+        return {"t": element.text_content()}
+
+    rows = extract_page(app.compile(), "https://dwmc.ron.sh/", dude_html)
+    navs = [r for r in rows if r["kind"] == "navigate"]
+    assert [n["link"] for n in navs] == ["https://dwmc.ron.sh/url-1.html"]  # first match only (O4)
+
+    # first matching element resolves to the current URL → unchanged → stop
+    rows2 = extract_page(app.compile(), "https://dwmc.ron.sh/url-1.html", dude_html)
+    assert [r["link"] for r in rows2 if r["kind"] == "navigate"] == []
+
+
+def test_pages_loop_multi_extraction(spark):
+    """pages=3: each seed re-extracts along the a.next navigate chain with
+    incremented _page_number (S6, lxml_scraper.py:75-94 loop shape)."""
+    app = Scraper()
+
+    @app.select(css="a.next", navigate=True)
+    def nav(element):
+        return element.get("href")
+
+    @app.select(css=".title", group_css=".custom-group")
+    def title(element):
+        return {"title": element.text_content()}
+
+    pages = pages_df(spark, SF).select("url", "html")
+    job = CrawlJob(
+        spark, app, pages,
+        config=CrawlConfig(follow_urls=False, pages=3, max_rounds=1, round_seconds=3600),
+    )
+    res = job.run(["https://host-1.test/page-0.html"])
+    flat = flatten(res.results)
+    got = {(r["_page_number"], r["_page_url"]) for r in flat.collect()}
+    # page-0 → navigate page-1 → navigate page-3 (first a.next each time)
+    assert (1, "https://host-1.test/page-0.html") in got
+    assert (2, "https://host-1.test/page-1.html") in got
+    assert (3, "https://host-1.test/page-3.html") in got
+    assert max(p for p, _ in got) == 3  # bounded by pages=3
+
+
+def test_adblock_filter(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://ads.example.com/banner.js",),
+            ("https://ok.test/page.html",),
+            ("https://sub.tracker.net/x",),
+            ("https://ok.test/ads/pixel.gif",),
+        ],
+        "url string",
+    )
+    out = adblock_filter(df, ["||tracker.net^", "/banner\\.js/", "ads/pixel"])
+    urls = {r["url"] for r in out.collect()}
+    assert urls == {"https://ok.test/page.html"}
+
+
+def test_crawl_with_adblock_excludes_items(spark):
+    app = Scraper()
+
+    @app.select(css=".title", group_css=".custom-group")
+    def t(element):
+        return {"t": element.text_content()}
+
+    pages = pages_df(spark, SF).select("url", "html")
+    job = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(
+            max_rounds=10, round_seconds=3600,
+            adblock_rules=["/item-\\d+-\\d+\\.html/"],
+        ),
+    )
+    res = job.run(seeds()[:4])
+    assert res.trace.filter("url like '%item-%'").count() == 0
+    assert res.trace.count() > 4  # real pages still crawled
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    from dude_spark.__main__ import main
+    import dude_spark.api as api
+
+    # fresh singleton for the CLI run
+    old = api.app
+    api.app = Scraper()
+    try:
+        script = tmp_path / "rules.py"
+        script.write_text(
+            "from dude_spark.api import app\n"
+            "@app.group(css='.custom-group')\n"
+            "@app.select(css='.title')\n"
+            "def title(element):\n"
+            "    return {'title': element.text_content()}\n"
+        )
+        pages_pq = str(tmp_path / "pages.parquet")
+        pages_df(spark, SF).select("url", "html").write.parquet(pages_pq)
+        out = tmp_path / "out.json"
+        rc = main([
+            "scrape", str(script),
+            "--url", "https://host-1.test/page-0.html",
+            "--pages-table", pages_pq,
+            "--output", str(out),
+            "--max-rounds", "1",
+        ])
+        assert rc == 0
+        data = json.loads(out.read_text())
+        assert [d["title"] for d in data] == ["Title 1-1", "Title 1-2"]
+        assert data[0]["_page_number"] == 1
+    finally:
+        api.app = old
