@@ -44,9 +44,19 @@ from .frontier import (
     seed_frontier,
     with_url_meta,
 )
-from .politeness import adblock_filter, budget_rank, compile_robots, robots_gate
+from .politeness import (
+    INLINE_ROBOTS_MAX,
+    adblock_filter,
+    compile_robots,
+    fast_budget_rank,
+    inline_robots_gate,
+    robots_gate,
+)
 
 RESULT_SCHEMA = EXTRACT_SCHEMA + ", depth int, seq bigint, round int"
+# the crawl frontier carries crawl_delay, attached once at append time by the
+# robots gate, so the per-round politeness budget needs no robots join
+CRAWL_COLS = FRONTIER_COLS + ["crawl_delay"]
 
 
 @dataclass
@@ -62,12 +72,24 @@ class CrawlConfig:
     state_dir: Optional[str] = None  # parquet round checkpoints (resumable)
     ignore_robots_txt: bool = False
     frontier_partitions: Optional[int] = None
-    # materialize the gated+ranked frontier per round. False (default) keeps
-    # the round at ~5 Spark jobs — the gate/rank pipeline is narrow and
-    # re-evaluates cheaply from the frontier checkpoint. Set True when the
-    # per-round frontier is huge enough that recomputing the politeness
-    # window twice costs more than one extra materialization.
-    persist_ranked: bool = False
+    # row-count ceilings below which the driver (which knows the exact sizes
+    # — it counts every round) forces broadcast-hash joins instead of leaving
+    # the choice to AQE, whose stats through localCheckpoint boundaries are
+    # unreliable: fetch_set broadcast into the pages join, seen-set broadcast
+    # into the candidate anti-join. Above the ceiling both joins fall back to
+    # shuffle joins (at warehouse scale: co-partitioned on url_hash).
+    broadcast_fetch_max: int = 500_000
+    broadcast_seen_max: int = 2_000_000
+    # partition count for the compacted seen set. The seen table is
+    # re-compacted (repartition on url_hash + checkpoint) every round so the
+    # candidate anti-join scans a BOUNDED number of partitions instead of an
+    # ever-growing union lineage of per-round snapshots — without this the
+    # per-round task count grows by defaultParallelism each round (O(R²)
+    # tasks over the crawl, worse at higher core counts: the exact anti-
+    # scaling failure the north_rule forbids). At warehouse scale this is
+    # the hash-partitioned seen table with Bloom sidecars (SURVEY §4.3);
+    # locally a small fixed partition count keeps scheduling overhead flat.
+    seen_partitions: int = 8
 
 
 @dataclass
@@ -89,7 +111,8 @@ class CrawlResult:
 
 
 def assign_global_seq(
-    df: DataFrame, order_cols: Sequence[str], start: int, out_col: str = "seq"
+    df: DataFrame, order_cols: Sequence[str], start: int, out_col: str = "seq",
+    rows_hint: Optional[int] = None,
 ) -> tuple[DataFrame, int]:
     """Dense global sequence in ``order_cols`` order, starting at ``start``.
 
@@ -104,6 +127,11 @@ def assign_global_seq(
     import pandas as pd
 
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    if rows_hint is not None:
+        # Task count must track DATA, not cores: every python-stage task pays
+        # a serialized handshake through the single pyspark daemon (~20ms),
+        # so 32 near-empty numbering tasks cost more than 2 full ones.
+        n_part = max(1, min(n_part, rows_hint // 4096 + 1))
     # NOTE: repartitionByRange samples its input to pick boundaries, so the
     # upstream pipeline is evaluated twice. Callers should hand in a plan
     # anchored on checkpointed/cached data (the crawl loop reads from the
@@ -170,12 +198,12 @@ class CrawlJob:
     def _round_dir(self, kind: str, rnd: int) -> str:
         return os.path.join(self.cfg.state_dir, kind, f"round={rnd}")
 
-    def _persist(self, df: DataFrame, kind: str, rnd: int) -> DataFrame:
+    def _persist(self, df: DataFrame, kind: str, rnd: int, eager: bool = True) -> DataFrame:
         if self.cfg.state_dir:
             path = self._round_dir(kind, rnd)
             df.write.mode("overwrite").parquet(path)
             return self.spark.read.parquet(path)
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
 
     def last_committed_round(self) -> int:
         """Resume support: highest round with a committed frontier dir."""
@@ -197,6 +225,72 @@ class CrawlJob:
         spark = self.spark
         self.scraper.run_event("startup")
 
+        from urllib.parse import urlparse
+
+        seed_urls = list(urls)
+        allowed = sorted(
+            {urlparse(u).netloc for u in seed_urls}
+            | {urlparse(r.url).netloc for r in (self.scraper.requests or [])}
+        )
+
+        # robots parsed ONCE per host (vs per-URL re-fetch in the reference,
+        # base.py:383-388). A small dim (the overwhelmingly common case — one
+        # robots.txt per allowed host) is collected and CONSTANT-FOLDED into
+        # literal gate expressions; a huge dim stays a cached broadcast-join
+        # dimension. Either way the driver learns up front exactly which
+        # hosts carry a crawl delay — those are the only hosts the politeness
+        # window ever needs to rank (fast_budget_rank).
+        robots_rows = None
+        compiled_robots = None
+        delayed_hosts: List[str] = []
+        if self.robots is not None and not cfg.ignore_robots_txt:
+            compiled = compile_robots(self.robots)
+            head = compiled.take(INLINE_ROBOTS_MAX + 1)
+            if len(head) <= INLINE_ROBOTS_MAX:
+                allowed_set = set(allowed)
+                robots_rows = [r for r in head if r["host"] in allowed_set]
+                delayed_hosts = sorted(
+                    r["host"] for r in robots_rows if r["crawl_delay"]
+                )
+            else:
+                compiled_robots = compiled.cache()
+                delayed_hosts = [
+                    r["host"]
+                    for r in compiled_robots.filter("crawl_delay > 0")
+                    .select("host")
+                    .collect()
+                ]
+
+        allowed_df = None
+
+        def gate_append(df: DataFrame) -> DataFrame:
+            """Static per-URL gates, applied ONCE when a URL enters the
+            frontier — they are properties of the URL, not of the round, so
+            evaluating them at append time leaves the per-round hot path with
+            zero joins. The reference applies P1/P2 at pop time and P4 at
+            request time (base.py:364-391, optional/utils.py:31-46); with a
+            static robots/blocklist dimension the fetched set and order are
+            identical (a disallowed URL contributes nothing to the trace or
+            the expansion in either model). Attaches ``crawl_delay``."""
+            nonlocal allowed_df
+            if len(allowed) <= INLINE_ROBOTS_MAX:
+                out = df.filter(F.col("host").isin(allowed))
+            else:
+                if allowed_df is None:
+                    allowed_df = spark.createDataFrame(
+                        [(h,) for h in allowed], "host string"
+                    )
+                out = allowed_domains_filter(df, F.broadcast(allowed_df))
+            if cfg.adblock_rules:
+                out = adblock_filter(out, cfg.adblock_rules)
+            if robots_rows is not None:
+                out = inline_robots_gate(out, robots_rows)
+            elif compiled_robots is not None:
+                out = robots_gate(out, compiled_robots)
+            else:
+                out = out.withColumn("crawl_delay", F.lit(0))
+            return out
+
         start_round = 0
         if resume and (r := self.last_committed_round()) >= 0:
             frontier = spark.read.parquet(self._round_dir("frontier", r))
@@ -212,22 +306,11 @@ class CrawlJob:
         else:
             if cfg.state_dir and os.path.isdir(cfg.state_dir):
                 shutil.rmtree(cfg.state_dir)
-            frontier = seed_frontier(spark, list(urls), self.scraper.requests)
+            frontier = gate_append(
+                seed_frontier(spark, seed_urls, self.scraper.requests)
+            ).select(*CRAWL_COLS)
             frontier = self._persist(frontier, "frontier", -1)
             seen = frontier.select("url", "url_hash")
-
-        allowed_hosts = (
-            seed_frontier(spark, list(urls), self.scraper.requests)
-            .select("host")
-            .distinct()
-        )
-        allowed_hosts = F.broadcast(allowed_hosts)
-        # robots parsed ONCE per host (vs per-URL re-fetch in the reference,
-        # base.py:383-388); cached + broadcast into every round's gate.
-        compiled_robots = None
-        if self.robots is not None and not cfg.ignore_robots_txt:
-            compiled_robots = compile_robots(self.robots).cache()
-            compiled_robots.count()
 
         extract_it = make_extract_iterator(
             self.plan,
@@ -240,45 +323,83 @@ class CrawlJob:
         results_parts: List[DataFrame] = []
         trace_parts: List[DataFrame] = []
         metrics: List[RoundMetrics] = []
-        max_seq = int(
-            frontier.agg(F.coalesce(F.max("seq"), F.lit(-1))).collect()[0][0]
-        )
-        n_pending = frontier.count()
+        first = frontier.agg(
+            F.coalesce(F.max("seq"), F.lit(-1)).alias("m"), F.count("*").alias("n")
+        ).collect()[0]
+        max_seq, n_pending = int(first["m"]), int(first["n"])
+        seen_n = max_seq + 1  # driver-exact seen-set size (it assigns every seq)
+
+        _dbg = bool(os.environ.get("DUDE_SPARK_DEBUG_TIMING"))
+
+        def _t(label: str, since: list) -> None:
+            if _dbg:
+                now = time.time()
+                print(f"    [{label}] {now - since[0]:.2f}s", flush=True)
+                since[0] = now
 
         for rnd in range(start_round, cfg.max_rounds):
             t0 = time.time()
+            _since = [t0]
             if n_pending == 0:
                 break
 
-            gated = allowed_domains_filter(frontier, allowed_hosts)
-            if cfg.adblock_rules:
-                gated = adblock_filter(gated, cfg.adblock_rules)
-            gated = robots_gate(gated, compiled_robots)
-            ranked = budget_rank(
-                gated, round_seconds=cfg.round_seconds, max_per_host=cfg.max_per_host
-            )
-            if cfg.persist_ranked:
-                ranked = self._persist(ranked, "ranked", rnd)
-            fetch_set = ranked.filter(F.col("fetch_now")).select(*FRONTIER_COLS)
-            deferred = (
-                ranked.filter(~F.col("fetch_now"))
-                .select(*FRONTIER_COLS)
-                .withColumn("round", F.lit(rnd + 1))
-            )
-            counts = ranked.groupBy("fetch_now").count().collect()
-            n_fetched = sum(r["count"] for r in counts if r["fetch_now"])
-            n_deferred = sum(r["count"] for r in counts if not r["fetch_now"])
+            # Politeness: rows were gated at append time and carry
+            # crawl_delay, so when no allowed host has a delay and no hot-
+            # host cap is set, the WHOLE pending frontier is fetchable —
+            # zero politeness jobs. Otherwise only the delay-carrying hosts'
+            # rows pay the window shuffle (fast_budget_rank).
+            if cfg.max_per_host is None and not delayed_hosts:
+                fetch_set = frontier
+                deferred = None
+                n_fetched, n_deferred = n_pending, 0
+            else:
+                ranked = fast_budget_rank(
+                    frontier,
+                    delayed_hosts,
+                    round_seconds=cfg.round_seconds,
+                    max_per_host=cfg.max_per_host,
+                )
+                # lazy checkpoint, materialized ONCE by the counts job just
+                # below; fetch_set and deferred then read the stored blocks
+                ranked = ranked.localCheckpoint(eager=False)
+                fetch_set = ranked.filter(F.col("fetch_now")).select(*CRAWL_COLS)
+                deferred = (
+                    ranked.filter(~F.col("fetch_now"))
+                    .select(*CRAWL_COLS)
+                    .withColumn("round", F.lit(rnd + 1))
+                )
+                counts = ranked.groupBy("fetch_now").count().collect()
+                n_fetched = sum(r["count"] for r in counts if r["fetch_now"])
+                n_deferred = sum(r["count"] for r in counts if not r["fetch_now"])
+                _t('counts', _since)
 
             # The fetch: frontier ⋈ pages. AQE broadcasts the (budget-capped)
             # frontier side when small; at warehouse scale both sides are
             # bucketed by url_hash (SURVEY §2.6).
-            fetched = fetch_set.join(self.pages, on="url", how="inner")
+            if n_fetched <= cfg.broadcast_fetch_max:
+                fetched = self.pages.join(F.broadcast(fetch_set), on="url", how="inner")
+            else:
+                fetched = fetch_set.join(self.pages, on="url", how="inner")
+            # Size the python extraction stage by page count, not core count:
+            # the join output inherits the pages table's partitioning, so a
+            # 50-URL round would otherwise run 32 near-empty pandas-UDF tasks
+            # each paying the worker handshake. ~128 pages/task amortizes it;
+            # big rounds keep the scan partitioning (no extra shuffle).
+            par = self.spark.sparkContext.defaultParallelism
+            est_parts = max(1, min(par, n_fetched // 128 + 1))
+            if est_parts < par:
+                fetched = fetched.repartition(est_parts)
 
             self.scraper.run_event("pre-setup")
             extracted = fetched.select("url", "html", "depth", "seq").mapInPandas(
                 extract_it, schema=result_schema
             )
-            extracted = self._persist(extracted, "extracted", rnd)
+            # lazy checkpoint: materializes inside the SAME job as the link/
+            # candidate pipeline below (one barrier instead of two); the
+            # parse still runs exactly once — later readers hit the
+            # checkpointed partitions
+            extracted = self._persist(extracted, "extracted", rnd, eager=False)
+            _t('extract_ckpt', _since)
             self.scraper.run_event("post-setup")
 
             extractions = [extracted]
@@ -333,33 +454,57 @@ class CrawlJob:
                     )
                 )
                 links = with_url_meta(links)
-                links = allowed_domains_filter(links, allowed_hosts)
+                links = gate_append(links)
                 if cfg.dedupe == "seen":
                     cands = dedupe_candidates(
-                        links, seen, order_cols=("parent_seq", "link_seq")
+                        links, seen, order_cols=("parent_seq", "link_seq"),
+                        broadcast_seen=seen_n <= cfg.broadcast_seen_max,
                     )
                 else:
                     cands = links
+                # lazy anchor: repartitionByRange inside assign_global_seq
+                # samples its input; the sampling pass materializes this
+                # checkpoint (extraction + link pipeline + dedupe, one job)
+                # and the shuffle pass reuses it
+                cands = cands.localCheckpoint(eager=False)
                 new_frontier, n_new = assign_global_seq(
-                    cands, ["parent_seq", "link_seq"], start=max_seq + 1
+                    cands, ["parent_seq", "link_seq"], start=max_seq + 1,
+                    rows_hint=n_fetched * 4,
                 )
+                _t('assign_seq', _since)
                 new_frontier = (
                     new_frontier.withColumn("method", F.lit("GET"))
                     .withColumn("status", F.lit("pending"))
                     .withColumn("round", F.lit(rnd + 1))
-                    .select(*FRONTIER_COLS)
+                    .select(*CRAWL_COLS)
                 )
                 prev_max = max_seq
                 max_seq += n_new
+                seen_n += n_new
 
-            frontier = deferred if new_frontier is None else deferred.unionByName(new_frontier)
+            if deferred is None and new_frontier is None:
+                frontier = spark.createDataFrame([], frontier.schema)
+            elif deferred is None:
+                frontier = new_frontier
+            elif new_frontier is None:
+                frontier = deferred
+            else:
+                frontier = deferred.unionByName(new_frontier)
             frontier = self._persist(frontier, "frontier", rnd)
+            _t('frontier_ckpt', _since)
             if cfg.follow_urls and cfg.dedupe == "seen" and n_new:
-                # the persisted frontier is the durable source for the seen
-                # delta (rows with seq > prev_max are this round's additions)
-                # — keeps the seen lineage anchored on checkpoints/parquet.
-                seen = seen.unionByName(
-                    frontier.filter(F.col("seq") > prev_max).select("url", "url_hash")
+                # Fold this round's delta (persisted frontier rows with
+                # seq > prev_max) into the seen set and COMPACT: repartition
+                # on url_hash to a fixed partition count + lazy checkpoint
+                # (materialized by the next round's anti-join). The anti-join
+                # then scans one bounded table, not a union of every prior
+                # round's snapshot (see seen_partitions).
+                seen = (
+                    seen.unionByName(
+                        frontier.filter(F.col("seq") > prev_max).select("url", "url_hash")
+                    )
+                    .repartition(cfg.seen_partitions, "url_hash")
+                    .localCheckpoint(eager=False)
                 )
             n_pending = n_deferred + n_new
 

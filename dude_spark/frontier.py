@@ -50,6 +50,7 @@ def seed_frontier(
     for j, req in enumerate(requests or []):
         rows.append((req.url, base + j, req.method))
     df = spark.createDataFrame(rows, "url string, seq long, method string")
+    df = df.coalesce(max(1, min(len(rows) // 4096 + 1, 32)))
     return (
         with_url_meta(df)
         .withColumn("depth", F.lit(0))
@@ -70,14 +71,19 @@ def dedupe_candidates(
     candidates: DataFrame,
     seen: Optional[DataFrame],
     order_cols: Sequence[str] = ("depth", "seq"),
+    broadcast_seen: bool = False,
 ) -> DataFrame:
     """L5: anti-join candidates against the seen set on ``url_hash``.
 
     Also dedupes *within* the batch keeping the smallest ``order_cols``
-    (first discovery wins — FIFO semantics). At cluster scale both sides are
-    hash-partitioned on ``url_hash`` so the anti-join is a co-located
-    shuffle; a Bloom sidecar pre-filter is a planned optimization (SURVEY
-    §4.3) — the exact anti-join remains the authority either way.
+    (first discovery wins — FIFO semantics). The crawl driver tracks the
+    seen-set size exactly (it assigns every seq), so it sets
+    ``broadcast_seen`` deterministically while the set is small — a
+    broadcast-hash anti-join that never shuffles the candidate side. At
+    cluster scale both sides are hash-partitioned on ``url_hash`` so the
+    anti-join is a co-located shuffle; a Bloom sidecar pre-filter is a
+    planned optimization (SURVEY §4.3) — the exact anti-join remains the
+    authority either way.
     """
     w = Window.partitionBy("url_hash").orderBy(*order_cols)
     first = (
@@ -87,4 +93,7 @@ def dedupe_candidates(
     )
     if seen is None:
         return first
-    return first.join(seen.select("url_hash"), on="url_hash", how="left_anti")
+    seen_keys = seen.select("url_hash")
+    if broadcast_seen:
+        seen_keys = F.broadcast(seen_keys)
+    return first.join(seen_keys, on="url_hash", how="left_anti")

@@ -75,7 +75,9 @@ def compile_robots(robots: DataFrame) -> DataFrame:
                 {"host": pdf["host"], "crawl_delay": out_delay, "rules": out_rules}
             )
 
-    return robots.select("host", "robots_txt").mapInPandas(
+    # tiny dimension: collapse to one partition so the parse is one task
+    # and downstream take()/collect() is one sub-job, not an incremental scan
+    return robots.select("host", "robots_txt").coalesce(1).mapInPandas(
         parse,
         "host string, crawl_delay int, rules array<struct<path string, allow boolean>>",
     )
@@ -105,6 +107,89 @@ def robots_gate(frontier: DataFrame, compiled_robots: Optional[DataFrame]) -> Da
         .withColumn("crawl_delay", F.coalesce(F.col("crawl_delay"), F.lit(0)))
         .drop("rules", "can_fetch")
     )
+
+
+INLINE_ROBOTS_MAX = 512
+
+
+def inline_robots_gate(df: DataFrame, robots_rows, url_col: str = "url") -> DataFrame:
+    """Constant-folded robots gate for a small compiled-robots dimension.
+
+    ``robots_rows`` is the **collected** output of :func:`compile_robots`
+    (≤ :data:`INLINE_ROBOTS_MAX` hosts). Instead of broadcast-joining the dim
+    table on every crawl round — each broadcast exchange is an extra Spark
+    sub-job per round — the per-host decision lists are folded into literal
+    CASE/WHEN expression trees evaluated inside whole-stage codegen. Hosts
+    with no rules and no delay are omitted from the chains entirely, so the
+    common case costs one string comparison. Semantics identical to
+    :func:`robots_gate`: first matching prefix rule wins, missing host ⇒
+    allow + delay 0 (reference fail-open, ``base.py:387-388``).
+
+    Adds ``crawl_delay int`` and drops disallowed rows. At warehouse scale
+    (millions of hosts) use the broadcast-join :func:`robots_gate` instead —
+    the crawl loop picks automatically by dim size.
+    """
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    host = F.col("host")
+
+    can_fetch = None
+    for r in robots_rows:
+        rules = r["rules"] or []
+        if not rules:
+            continue
+        host_expr = None
+        for line in rules:
+            cond = F.lit(True) if line["path"] == "" else F.startswith(path, F.lit(line["path"]))
+            allow = F.lit(bool(line["allow"]))
+            host_expr = F.when(cond, allow) if host_expr is None else host_expr.when(cond, allow)
+        host_expr = host_expr.otherwise(F.lit(True))
+        branch = F.when(host == F.lit(r["host"]), host_expr)
+        can_fetch = branch if can_fetch is None else can_fetch.when(host == F.lit(r["host"]), host_expr)
+    can_fetch = F.lit(True) if can_fetch is None else can_fetch.otherwise(F.lit(True))
+
+    delay = None
+    for r in robots_rows:
+        if r["crawl_delay"]:
+            branch_val = F.lit(int(r["crawl_delay"]))
+            delay = (
+                F.when(host == F.lit(r["host"]), branch_val)
+                if delay is None
+                else delay.when(host == F.lit(r["host"]), branch_val)
+            )
+    delay = F.lit(0) if delay is None else delay.otherwise(F.lit(0))
+
+    return df.filter(can_fetch).withColumn("crawl_delay", delay)
+
+
+def fast_budget_rank(
+    frontier: DataFrame,
+    delayed_hosts: list[str],
+    round_seconds: int = 60,
+    max_per_host: Optional[int] = None,
+) -> DataFrame:
+    """P3 split when the set of delay-carrying hosts is known a priori.
+
+    robots dims are static per crawl, so the driver knows exactly which hosts
+    have ``crawl_delay > 0`` before the loop starts (``compile_robots`` is
+    collected once). Only those hosts can ever be over budget when
+    ``max_per_host`` is unset, so the politeness window shuffles **only their
+    rows** — selected by a literal ``isin``, no per-round groupBy or
+    broadcast — and every other host passes straight through. Requires the
+    frontier to carry ``crawl_delay`` (attached at append time by the gate).
+    """
+    if max_per_host is not None:
+        return budget_rank(frontier, round_seconds, max_per_host)
+    budget = _budget_expr(round_seconds, None)
+    w = Window.partitionBy("host").orderBy("depth", "seq")
+    hot = frontier.filter(F.col("host").isin(delayed_hosts))
+    cold = frontier.filter(~F.col("host").isin(delayed_hosts))
+    ranked_hot = hot.withColumn("host_rank", F.row_number().over(w)).withColumn(
+        "fetch_now", F.col("host_rank") <= budget
+    )
+    passed_cold = cold.withColumn("host_rank", F.lit(None).cast("int")).withColumn(
+        "fetch_now", F.lit(True)
+    )
+    return ranked_hot.unionByName(passed_cold)
 
 
 def adblock_filter(frontier: DataFrame, rules: list[str]) -> DataFrame:

@@ -36,8 +36,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # bound pandas-UDF batch memory: html pages are heavy rows, the
+        # default 10k-row Arrow batches would be hundreds of MB per worker
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.locality.wait", "0s")
+        # The defaults batch 10k rows per in-memory-columnar cache batch and
+        # compress each column: with ~50KB html blobs that is a ~500MB
+        # builder per batch × one per task — measured 85s + a multi-hundred-
+        # second GC storm to cache a 4GB page corpus, and 2s/scan after.
+        # 256-row uncompressed batches build the same cache in 2.6s and scan
+        # in 0.2s. (Compression on page-sized binary rows is parquet's job
+        # at rest, not the scan cache's.)
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "256")
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
@@ -57,7 +70,13 @@ def _ship_package(spark: SparkSession) -> None:
     zip_path = os.path.join(
         os.environ.get("TMPDIR", "/tmp"), "dude_spark_pyfiles.zip"
     )
-    if not os.path.exists(zip_path):
+    src_mtime = max(
+        os.path.getmtime(os.path.join(root, fn))
+        for root, _dirs, files in os.walk(pkg_dir)
+        for fn in files
+        if fn.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
         with zipfile.ZipFile(zip_path + ".tmp", "w") as z:
             for root, _dirs, files in os.walk(pkg_dir):
                 for fn in files:
