@@ -252,14 +252,20 @@ class CrawlJob:
                 delayed_hosts = sorted(
                     r["host"] for r in robots_rows if r["crawl_delay"]
                 )
+                delay_by_host = {
+                    r["host"]: int(r["crawl_delay"])
+                    for r in robots_rows
+                    if r["crawl_delay"]
+                }
             else:
                 compiled_robots = compiled.cache()
-                delayed_hosts = [
-                    r["host"]
-                    for r in compiled_robots.filter("crawl_delay > 0")
-                    .select("host")
+                delayed = (
+                    compiled_robots.filter("crawl_delay > 0")
+                    .select("host", "crawl_delay")
                     .collect()
-                ]
+                )
+                delayed_hosts = [r["host"] for r in delayed]
+                delay_by_host = {r["host"]: int(r["crawl_delay"]) for r in delayed}
 
         allowed_df = None
 
@@ -348,14 +354,34 @@ class CrawlJob:
             # host cap is set, the WHOLE pending frontier is fetchable —
             # zero politeness jobs. Otherwise only the delay-carrying hosts'
             # rows pay the window shuffle (fast_budget_rank).
-            if cfg.max_per_host is None and not delayed_hosts:
+            over_budget = delayed_hosts
+            if cfg.max_per_host is None and delayed_hosts:
+                # One tiny aggregation decides whether the politeness window
+                # is needed AT ALL this round: only a delay-carrying host
+                # whose pending count exceeds its budget forces ranking, and
+                # the driver can check that exactly (a groupBy over only the
+                # delayed hosts' rows, collecting |delayed_hosts| counts).
+                # Under-budget rounds then take the zero-job fast path.
+                hot_counts = (
+                    frontier.filter(F.col("host").isin(delayed_hosts))
+                    .groupBy("host")
+                    .count()
+                    .collect()
+                )
+                over_budget = sorted(
+                    r["host"]
+                    for r in hot_counts
+                    if r["count"]
+                    > max(1, cfg.round_seconds // delay_by_host[r["host"]])
+                )
+            if cfg.max_per_host is None and not over_budget:
                 fetch_set = frontier
                 deferred = None
                 n_fetched, n_deferred = n_pending, 0
             else:
                 ranked = fast_budget_rank(
                     frontier,
-                    delayed_hosts,
+                    over_budget,
                     round_seconds=cfg.round_seconds,
                     max_per_host=cfg.max_per_host,
                 )

@@ -109,7 +109,7 @@ def robots_gate(frontier: DataFrame, compiled_robots: Optional[DataFrame]) -> Da
     )
 
 
-INLINE_ROBOTS_MAX = 512
+INLINE_ROBOTS_MAX = 64
 
 
 def inline_robots_gate(df: DataFrame, robots_rows, url_col: str = "url") -> DataFrame:

@@ -36,9 +36,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-        # bound pandas-UDF batch memory: html pages are heavy rows, the
-        # default 10k-row Arrow batches would be hundreds of MB per worker
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # bound pandas-UDF batch memory: html pages are heavy rows — at
+        # ~150KB/page even 1024-row Arrow batches are ~150MB of buffer churn
+        # per concurrent task, which turned into GC-driven 2-3× run-to-run
+        # variance; 128-row (~20MB) batches measured both faster and stable
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+        # batch engine: favor throughput GC over pause-time GC
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.locality.wait", "0s")
         # The defaults batch 10k rows per in-memory-columnar cache batch and
         # compress each column: with ~50KB html blobs that is a ~500MB
