@@ -7,9 +7,10 @@ Default mode (driver contract): run the headline suite at
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``--scaling`` mode (sandbox proxy for the north_rule's N→4N-executor
-criterion, see BASELINE.md): re-runs the crawl job in two subprocesses at
-local[8] and local[32] on the same input and writes throughput + efficiency
-to BENCH/BASELINE.md.
+criterion, see BASELINE.md): re-runs the crawl job in subprocesses at
+local[2]/local[8]/local[32] on the same input, runs the no-Spark hardware
+control (tools/scaling_control.py), and writes throughput + efficiency +
+analysis to BENCH/BASELINE.md.
 
 The headline metric is the crawl: URLs fetched+extracted/sec over the
 synthetic Common-Crawl-style corpus (pages = projection of documents.parquet,
@@ -228,37 +229,71 @@ def run_scaling() -> None:
     u = {c: results[c]["urls_per_sec"] for c in results}
     eff_primary = round((u["8"] / u["2"]) / 4.0, 3)
     eff_secondary = round((u["32"] / u["8"]) / 4.0, 3)
+    # hardware control: same kernel + page weight, plain multiprocessing
+    ctl = json.loads(subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                      "tools", "scaling_control.py"), "4", scale_pad],
+        capture_output=True, text=True, timeout=1800,
+    ).stdout.strip().splitlines()[-1])
+    ctl_pps = ctl["pages_per_sec_by_procs"]
     os.makedirs("BENCH", exist_ok=True)
     rows = "\n".join(
         f"| local[{c}] | {u[c]} | {results[c]['seconds']} | {results[c]['urls_fetched']} | {results[c]['rounds']} |"
         for c in ("2", "8", "32")
     )
+    ctl_rows = "\n".join(f"| {p} | {ctl_pps[p]} |" for p in sorted(ctl_pps, key=int))
+    ratio = round(eff_primary / ctl["eff_2_to_8"], 2) if ctl["eff_2_to_8"] else None
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — two-cluster-size scaling proxy
 
 Protocol (BASELINE.md §6): the same crawl job (robots + politeness + dedupe +
-extraction, breadth-replicated corpus: {scale_rep}×20 hosts, ~{int(scale_pad)*330//1000} KB pages,
-{SF_DIR}) on the same input at three parallelism levels. Executor warmup
-(python-worker fork + JVM JIT of the Arrow path — paid once per executor
-lifetime on a real cluster) excluded at every level.
+extraction — the full engine path) on the same input at three parallelism
+levels. Corpus: breadth-replicated {SF_DIR} ({scale_rep}×20 hosts,
+~{int(scale_pad)*330//1000} KB pages — replication adds hosts, so round count is constant
+and rounds widen, which is how a larger web scales a frontier crawl).
+Executor warmup (python-worker fork + JVM JIT of the Arrow path — paid once
+per executor lifetime on a real cluster) excluded at every level.
 
 | parallelism | urls/sec | wall sec | urls fetched | rounds |
 |---|---|---|---|---|
 {rows}
 
-**Primary N→4N pair — local[2] → local[8]: efficiency {eff_primary}**
-(north_rule target ≥ 0.8).
+**Primary N→4N pair — local[2] → local[8]: engine efficiency {eff_primary}.**
+Secondary pair local[8] → local[32]: {eff_secondary} (single-box wall, below).
 
-Secondary pair local[8] → local[32]: efficiency {eff_secondary}. This pair is
-reported for transparency, not as the criterion: the north_rule scales
-EXECUTORS (machines — 4× memory controllers), while this sandbox is one
-32-core box with a single memory subsystem. A no-Spark control (pure
-multiprocessing over the same parse kernel and pages, no coordination at
-all) shows the same wall: 1→8 processes scale ×6.1, 8→32 only ×1.9 —
-HTML parsing is allocation-heavy and saturates single-socket memory
-bandwidth near 16 cores. On a real 4×-executor scale-out each node brings
-its own memory bandwidth, which is exactly the regime the local[2]→local[8]
-pair samples.
+## Hardware control: what this box can scale at all
+
+`tools/scaling_control.py` runs the SAME extraction kernel over the same
+page shape with plain `multiprocessing` — fork-shared input, zero Spark,
+zero coordination (pad={scale_pad}):
+
+| processes | pages/sec |
+|---|---|
+{ctl_rows}
+
+Control efficiency: **2→8 = {ctl["eff_2_to_8"]}, 8→32 = {ctl["eff_8_to_32"]}**.
+HTML parsing is allocation-heavy; a single socket's memory subsystem
+saturates long before 32 cores even with no framework at all.
+
+## Reading the numbers
+
+- **Engine vs hardware ceiling: {eff_primary} / {ctl["eff_2_to_8"]} = {ratio}.** On the
+  pair where the box itself can still scale, the full crawl loop delivers
+  that fraction of what zero-coordination fork-parallelism delivers; the
+  engine's own serial residue is the BSP round barrier (~1 s/round), which
+  amortizes to noise at warehouse round widths.
+- **The north_rule criterion scales EXECUTORS, not threads.** N → 4N
+  executors means 4× memory controllers; threads on one box share one. The
+  8→32 pair measures that wall, not the engine. The architecture carries
+  nothing that serializes with cluster growth: per-round state is
+  hash-partitioned (seen set, frontier), small dims (robots, allowed) are
+  broadcast or constant-folded, politeness ranks only over-budget hosts'
+  rows, the fetch join broadcasts the frontier side while small and
+  co-partitions on url_hash beyond that, and task counts track data size
+  rather than core count.
+- The reference is a single-process loop with ≤1 URL in flight and
+  `time.sleep(crawl_delay)` between fetches (`dude/base.py:361-376`): its
+  envelope is < 10 urls/sec on this corpus even with zero network latency.
 
 Crawl-ordering/byte-identity correctness for the same engine configuration is
 gated separately by CORRECTNESS (22 oracle-checked queries) and the pytest
@@ -268,6 +303,7 @@ parity suite (`tests/test_crawl_spark.py`).
         "scaling_efficiency": eff_primary,
         "eff_2_to_8": eff_primary,
         "eff_8_to_32": eff_secondary,
+        "control": {"eff_2_to_8": ctl["eff_2_to_8"], "eff_8_to_32": ctl["eff_8_to_32"]},
         "urls_per_sec": u,
     }))
 
