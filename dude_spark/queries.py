@@ -269,6 +269,88 @@ FROM layout GROUP BY host_id
 """
 
 
+def q_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: the XPath selector engine — ``.//p[@class='title']`` scoped to
+    each ``.custom-group`` (reference lxml backend ``optional/
+    lxml_scraper.py:184-185``); equality with the CSS path is the check."""
+    app = Scraper()
+
+    @app.group(css=".custom-group")
+    @app.select(xpath=".//p[@class='title']")
+    def title(element):
+        return {"title": element.text_content()}
+
+    ext = _extract_once(spark, sf_dir, app)
+    return ext.filter(F.col("kind") == "data").select(
+        "page_url",
+        F.col("group_index").cast("long").alias("group_index"),
+        F.col("data").getItem("title").alias("title"),
+    )
+
+
+ORACLE_XPATH_EXTRACT = LAYOUT_CTE + """
+SELECT url AS page_url,
+       (k - 1) AS group_index,
+       'Title ' || doc_id || '-' || k AS title
+FROM (SELECT *, unnest(generate_series(1, n_groups)) AS k FROM layout)
+"""
+
+
+def q_text_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: text-contains selector — lxml translation
+    ``.//*[contains(text(), s)]`` over the FIRST direct text node
+    (``lxml_scraper.py:186-188``). 'Description ' appears only in
+    ``p.description`` first-text nodes (the synthetic document prose is
+    lowercase), so the match set is closed-form."""
+    app = Scraper()
+
+    @app.select(text="Description ")
+    def d(element):
+        return {"d": element.text_content()}
+
+    ext = _extract_once(spark, sf_dir, app)
+    return ext.filter(F.col("kind") == "data").select(
+        "page_url",
+        F.col("element_index").cast("long").alias("element_index"),
+        F.col("data").getItem("d").alias("d"),
+    )
+
+
+ORACLE_TEXT_SELECT = LAYOUT_CTE + """
+SELECT url AS page_url,
+       CASE WHEN k = 1 THEN 0 ELSE 1 END AS element_index,
+       'Description ' || doc_id || '-' || k AS d
+FROM (SELECT *, unnest([1, 3]) AS k FROM layout)
+WHERE k <= n_groups
+"""
+
+
+def q_regex_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: regex selector — lxml translation ``re:test(text(), pat, 'i')``
+    over the first direct text node, case-insensitive
+    (``lxml_scraper.py:189-193``). Anchored pattern selects exactly the
+    group-2 titles (present when n_groups >= 2)."""
+    app = Scraper()
+
+    @app.select(regex=r"^Title \d+-2$")
+    def t2(element):
+        return {"t2": element.text_content()}
+
+    ext = _extract_once(spark, sf_dir, app)
+    return ext.filter(F.col("kind") == "data").select(
+        "page_url",
+        F.col("data").getItem("t2").alias("t2"),
+    )
+
+
+ORACLE_REGEX_SELECT = LAYOUT_CTE + """
+SELECT url AS page_url,
+       'Title ' || doc_id || '-2' AS t2
+FROM layout WHERE n_groups >= 2
+"""
+
+
+
 def q_flatten_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 later-wins merge: two same-group rules writing the same key —
     the higher-priority-value (later) rule's value must survive."""
@@ -683,6 +765,9 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs": q_crawl_bfs,
         "politeness_budget": q_politeness_budget,
         "robots_gate": q_robots_gate,
+        "xpath_extract": q_xpath_extract,
+        "text_select": q_text_select,
+        "regex_select": q_regex_select,
         "flatten_merge": q_flatten_merge,
         "pivot_extract": q_pivot_extract,
         "frontier_dedupe": q_frontier_dedupe,
@@ -712,6 +797,9 @@ def oracle_sql() -> Dict[str, str]:
         "crawl_bfs": ORACLE_CRAWL_BFS,
         "politeness_budget": ORACLE_POLITENESS,
         "robots_gate": ORACLE_ROBOTS_GATE,
+        "xpath_extract": ORACLE_XPATH_EXTRACT,
+        "text_select": ORACLE_TEXT_SELECT,
+        "regex_select": ORACLE_REGEX_SELECT,
         "flatten_merge": ORACLE_FLATTEN_MERGE,
         "pivot_extract": ORACLE_PIVOT_EXTRACT,
         "frontier_dedupe": ORACLE_FRONTIER_DEDUPE,
