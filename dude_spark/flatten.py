@@ -11,8 +11,12 @@
 Spark realization: single hash aggregate (Catalyst plans partial+final for
 free) — ``collect_list(struct(rule_seq, map_entries(data)))`` →
 ``array_sort`` (restores the reference's collect order inside each group) →
-``flatten`` → ``map_from_entries`` under ``mapKeyDedupPolicy=LAST_WIN``.
-No window, no second shuffle.
+``flatten`` → later-wins fold into a map. The fold removes any earlier
+entry for a key before inserting the later one, so the merged map never
+contains duplicate keys and the expression is correct under ANY session's
+``spark.sql.mapKeyDedupPolicy`` (the engine must not require a blessed
+session factory). No window, no second shuffle; entry lists are tiny
+(one entry per rule writing the group), so the O(rules²) fold is noise.
 """
 
 from __future__ import annotations
@@ -32,23 +36,31 @@ def flatten(extracted: DataFrame, ordered: bool = True) -> DataFrame:
     meaningful for single-file exports; the sort keys are always present so
     any consumer can order cheaply within partitions).
     """
+    merged_entries = F.flatten(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("rule_seq").alias("seq"),
+                    F.map_entries("data").alias("entries"),
+                )
+            )
+        ).getField("entries")
+    )
+    # later-wins fold (base.py:617 dict.update semantics): drop any earlier
+    # binding of the key, then append the new one — duplicate-free by
+    # construction, independent of mapKeyDedupPolicy
+    merged_map = F.aggregate(
+        merged_entries,
+        F.create_map().cast("map<string,string>"),
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, _: k != e["key"]),
+            F.create_map(e["key"], e["value"]),
+        ),
+    )
     df = (
         extracted.filter(F.col("kind") == "data")
         .groupBy(*GROUP_KEYS)
-        .agg(
-            F.map_from_entries(
-                F.flatten(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                F.col("rule_seq").alias("seq"),
-                                F.map_entries("data").alias("entries"),
-                            )
-                        )
-                    ).getField("entries")
-                )
-            ).alias("data")
-        )
+        .agg(merged_map.alias("data"))
         .select(
             F.col("page_number").alias("_page_number"),
             F.col("page_url").alias("_page_url"),

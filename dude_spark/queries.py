@@ -436,9 +436,11 @@ def q_frontier_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # new urls per host = items (sum of n_groups) + real children (locals 1..n-1)
+# ::BIGINT — DuckDB sum() over BIGINT yields HUGEINT, which pandas lands as
+# float64 and the driver canon hashes differently from Spark's int64
 ORACLE_FRONTIER_DEDUPE = LAYOUT_CTE + """
 SELECT 'host-' || host_id || '.test' AS host,
-       (sum(n_groups) + max(n_local) - 1) AS n_new
+       (sum(n_groups) + max(n_local) - 1)::BIGINT AS n_new
 FROM layout GROUP BY host_id
 """
 
@@ -618,7 +620,7 @@ WITH t AS (SELECT doc_id, text,
                 ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
            FROM documents)
 SELECT doc_id, len(toks) AS n_tokens,
-       coalesce(list_sum(list_transform(toks, x -> ceil(length(x) / 4.0)::BIGINT)), 0) AS n_subwords,
+       coalesce(list_sum(list_transform(toks, x -> ceil(length(x) / 4.0)::BIGINT)), 0)::BIGINT AS n_subwords,
        length(text) AS n_chars_computed
 FROM t
 """
@@ -734,13 +736,64 @@ FROM s GROUP BY user_id, session_id
 """
 
 
-# -- rows-only (non-SQL-expressible) queries --------------------------------
-
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram lang-ID: train on doc_id%10<8, predict the rest.
+
+    Output is (doc_id, pred_lang) only — the raw cosine score is float-
+    summation-order sensitive at the 1e-15 level between engines, while the
+    argmax is stable (the synthetic languages are well separated), so the
+    prediction itself is the oracle-checked contract."""
     docs = _docs(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % 10 < 8)
     profiles = train_char_ngram_profiles(train)
-    return predict_lang(docs.filter(F.col("doc_id") % 10 >= 8), profiles)
+    preds = predict_lang(docs.filter(F.col("doc_id") % 10 >= 8), profiles)
+    return preds.select(F.col("doc_id").cast("long"), "pred_lang")
+
+
+# The oracle REPLICATES training + prediction in SQL: per-lang top-200
+# trigram profile (ties: count desc, gram asc — same as the window in
+# train_char_ngram_profiles), L2-normalized cosine vs each doc's trigram
+# counts, argmax with first-lang-wins tie-break (row_number ... lang ASC ==
+# the Python loop over sorted(langs) with strict >).
+ORACLE_LANG_ID = """
+WITH train AS (SELECT lang, text FROM documents WHERE doc_id % 10 < 8),
+tg AS (
+  SELECT lang, substr(text, i, 3) AS g
+  FROM (SELECT lang, text,
+        unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i FROM train)
+), tc AS (SELECT lang, g, count(*) AS cnt FROM tg GROUP BY 1, 2),
+topg AS (
+  SELECT lang, g, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, g) AS rn
+  FROM tc
+), prof AS (
+  SELECT lang, g, cnt::DOUBLE / (sum(cnt) OVER (PARTITION BY lang)) AS w
+  FROM topg WHERE rn <= 200
+), pnorm AS (SELECT lang, sqrt(sum(w * w)) AS pn FROM prof GROUP BY lang),
+test AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+dg AS (
+  SELECT doc_id, substr(text, i, 3) AS g
+  FROM (SELECT doc_id, text,
+        unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i FROM test)
+), dc AS (SELECT doc_id, g, count(*) AS c FROM dg GROUP BY 1, 2),
+dn AS (SELECT doc_id, sqrt(sum(c * c)) AS dn FROM dc GROUP BY 1),
+dots AS (
+  SELECT dc.doc_id, prof.lang, sum(dc.c * prof.w) AS dot
+  FROM dc JOIN prof USING (g) GROUP BY 1, 2
+), scored AS (
+  SELECT t.doc_id, p.lang,
+         coalesce(d.dot, 0) / (coalesce(n.dn, 1.0) * p.pn) AS s
+  FROM test t
+  CROSS JOIN pnorm p
+  LEFT JOIN dn n ON n.doc_id = t.doc_id
+  LEFT JOIN dots d ON d.doc_id = t.doc_id AND d.lang = p.lang
+)
+SELECT doc_id, lang AS pred_lang
+FROM (SELECT doc_id, lang,
+      row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,10 +801,100 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(media)
 
 
+def _oracle_multimodal(feat_dim: int = 4) -> str:
+    """decode_features oracle: the fake codec is md5(payload), payload is the
+    UTF-8 text bytes, so each feature is a little-endian signed int32 word of
+    the md5 digest — reconstructible from DuckDB's md5 hex string."""
+
+    def byte(j: int) -> str:
+        return f"('0x' || substr(h, {2 * j + 1}, 2))::BIGINT"
+
+    feats = []
+    for d in range(feat_dim):
+        val = " + ".join(f"{byte(4 * d + j)} * {256 ** j}" for j in range(4))
+        feats.append(
+            f"(CASE WHEN ({val}) >= 2147483648 THEN ({val}) - 4294967296"
+            f" ELSE ({val}) END) AS f{d}"
+        )
+    return (
+        "WITH m AS (\n"
+        "  SELECT doc_id AS media_id,\n"
+        "         (['image','audio','video'])[(doc_id % 3)::INT + 1] AS kind,\n"
+        "         strlen(text)::BIGINT AS n_bytes, md5(text) AS h\n"
+        "  FROM documents WHERE doc_id < 1000\n"
+        ")\n"
+        "SELECT media_id, kind, n_bytes, " + ", ".join(feats) + " FROM m"
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(emb, queries, k=5, n_planes=4)
+    return lsh_bucketed_topk(emb, queries, k=5, n_planes=4).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _oracle_ann_lsh(
+    k: int = 5, n_planes: int = 4, n_tables: int = 8, dim: int = 64
+) -> str:
+    """sign-LSH top-k oracle. The hyperplanes are deterministic portable-hash
+    math (sign = md5('lsh{t}:{p}:{i}')[:8] % 2 * 2 - 1 — the Python twin of
+    textops.portable_hash32), so the sign matrix is precomputed here and
+    inlined as literal arrays; DuckDB then reproduces buckets, candidate
+    pairs, cosines, and ranks exactly."""
+    import hashlib
+
+    def sign(t: int, p: int, i: int) -> int:
+        h = hashlib.md5(f"lsh{t}:{p}:{i}".encode()).hexdigest()[:8]
+        return (int(h, 16) % 2) * 2 - 1
+
+    def bucket_expr(t: int) -> str:
+        parts = []
+        for p in range(n_planes):
+            signs = "[" + ", ".join(str(sign(t, p, i)) for i in range(dim)) + "]"
+            parts.append(
+                f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}),"
+                f" i -> v[i]::DOUBLE * ({signs})[i])) > 0 THEN {2 ** p} ELSE 0 END)"
+            )
+        return " + ".join(parts)
+
+    qb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, ({bucket_expr(t)}) AS bucket FROM e WHERE vec_id < 10"
+        for t in range(n_tables)
+    )
+    bb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, ({bucket_expr(t)}) AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+qb AS ({qb}),
+bb AS ({bb}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bb b JOIN qb q USING (tbl, bucket)
+  WHERE b.vec_id != q.vec_id
+), pairs AS (
+  SELECT query_id, neighbor_id,
+    list_sum(list_transform(generate_series(1, {dim}),
+             i -> qe.v[i]::DOUBLE * be.v[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(qe.v, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(be.v, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+  FROM cand
+  JOIN e qe ON qe.vec_id = query_id
+  JOIN e be ON be.vec_id = neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -782,7 +925,6 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "lang_stats": q_lang_stats,
         "sessionize": q_sessionize,
-        # rows-only (no SQL equivalent)
         "lang_id_ngram": q_lang_id,
         "multimodal_decode": q_multimodal_decode,
         "ann_lsh_topk": q_ann_lsh,
@@ -813,4 +955,7 @@ def oracle_sql() -> Dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "lang_stats": ORACLE_LANG_STATS,
         "sessionize": ORACLE_SESSIONIZE,
+        "lang_id_ngram": ORACLE_LANG_ID,
+        "multimodal_decode": _oracle_multimodal(),
+        "ann_lsh_topk": _oracle_ann_lsh(),
     }

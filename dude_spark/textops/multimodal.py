@@ -56,35 +56,43 @@ def _fake_decode(payload: bytes) -> bytes:
 
 
 def decode_features(media: DataFrame, feat_dim: int = 4) -> DataFrame:
-    """Decode + feature-extract stage: payload → fixed-size float features.
+    """Decode + feature-extract stage: payload → fixed-size scalar features.
 
     mapInPandas; one Arrow batch per call. Production swap: the body of
     ``_fake_decode`` + the feature math; everything else is the real 100 TB
     pipeline shape (binary in, compact struct out, payload column dropped
     immediately after decode so shuffles stay narrow).
+
+    Features are emitted as scalar int32 columns ``f0..f{d-1}`` (little-
+    endian words of the fake-decoded byte stream): scalar columns keep the
+    output sortable/hashable by any downstream canonicalizer (pandas
+    ``sort_values`` chokes on array cells) and make the stage verifiable
+    bit-exactly by a DuckDB oracle over the md5 hex.
     """
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats: list[list[int]] = [[] for _ in range(feat_dim)]
             for payload in pdf["payload"]:
                 raw = _fake_decode(bytes(payload) if payload is not None else b"")
-                vals = struct.unpack(f"<{feat_dim}f", raw[: 4 * feat_dim])
-                feats.append([round(float(v), 6) if v == v else 0.0 for v in vals])
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": [
-                        len(bytes(p)) if p is not None else 0 for p in pdf["payload"]
-                    ],
-                    "features": feats,
-                }
-            )
+                vals = struct.unpack(f"<{feat_dim}i", raw[: 4 * feat_dim])
+                for d in range(feat_dim):
+                    feats[d].append(vals[d])
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [
+                    len(bytes(p)) if p is not None else 0 for p in pdf["payload"]
+                ],
+            }
+            for d in range(feat_dim):
+                out[f"f{d}"] = feats[d]
+            yield pd.DataFrame(out)
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
-        it, "media_id long, kind string, n_bytes long, features array<double>"
+    schema = "media_id long, kind string, n_bytes long, " + ", ".join(
+        f"f{d} long" for d in range(feat_dim)
     )
+    return media.select("media_id", "kind", "payload").mapInPandas(it, schema)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -108,21 +108,35 @@ def lang_stats(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def train_char_ngram_profiles(docs: DataFrame, n: int = 3, top: int = 200) -> dict:
-    """Per-language top-N char-ngram frequency profile (driver-side dict,
-    meant to be tiny: langs × top)."""
+    """Per-language top-N char-ngram frequency profile.
+
+    The top-N cut happens DISTRIBUTIVELY (per-lang window over the gram
+    counts) before anything reaches the driver, so the collect is bounded at
+    ``langs × top`` rows regardless of corpus/vocabulary size — the full
+    (lang, gram) count table never leaves the executors. Ties at the cut
+    break by (count desc, gram asc), matching the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
     grams = docs.selectExpr(
         "lang",
         f"explode(transform(sequence(1, greatest(length(text)-{n-1}, 0)),"
         f" i -> substring(text, i, {n}))) AS g",
     )
     counts = grams.groupBy("lang", "g").count()
-    rows = counts.collect()
+    w = Window.partitionBy("lang").orderBy(F.col("count").desc(), F.col("g"))
+    rows = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top)
+        .drop("_rn")
+        .collect()
+    )
     prof: dict = {}
     for r in rows:
         prof.setdefault(r["lang"], {})[r["g"]] = r["count"]
     out = {}
     for lang, d in prof.items():
-        top_items = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+        top_items = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))
         total = sum(v for _, v in top_items) or 1
         out[lang] = {g: v / total for g, v in top_items}
     return out

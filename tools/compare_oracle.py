@@ -47,9 +47,23 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry
-    from dude_spark.session import get_spark
 
-    spark = get_spark(master="local[8]")
+    # VANILLA session on purpose — the round-1 flatten_merge failure was the
+    # engine silently depending on its own session factory's confs
+    # (mapKeyDedupPolicy). The driver's gate runs a plain session; so must
+    # this replica. Only master/TZ/memory are set (environment, not
+    # semantics); every query must be correct under default SQL confs.
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("compare_oracle")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
