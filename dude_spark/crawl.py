@@ -227,10 +227,21 @@ class CrawlJob:
 
         from urllib.parse import urlparse
 
+        def _host_of(u: str) -> str:
+            """HOST with the same semantics as the frontier's
+            ``parse_url(url, 'HOST')`` column (with_url_meta): userinfo and
+            port stripped, case preserved. ``urlparse(u).netloc`` keeps both
+            — comparing it against the frontier host column silently drops
+            every row for seeds with an explicit port."""
+            netloc = urlparse(u).netloc.rsplit("@", 1)[-1]
+            if netloc.startswith("["):  # IPv6 literal
+                return netloc[: netloc.index("]") + 1] if "]" in netloc else netloc
+            return netloc.split(":", 1)[0]
+
         seed_urls = list(urls)
         allowed = sorted(
-            {urlparse(u).netloc for u in seed_urls}
-            | {urlparse(r.url).netloc for r in (self.scraper.requests or [])}
+            {_host_of(u) for u in seed_urls}
+            | {_host_of(r.url) for r in (self.scraper.requests or [])}
         )
 
         # robots parsed ONCE per host (vs per-URL re-fetch in the reference,
@@ -336,6 +347,22 @@ class CrawlJob:
         seen_n = max_seq + 1  # driver-exact seen-set size (it assigns every seq)
 
         _dbg = bool(os.environ.get("DUDE_SPARK_DEBUG_TIMING"))
+
+        # Handles to the per-round compacted seen-set checkpoints. seen_r is
+        # only an input to round r+1's anti-join; once seen_r+1's checkpoint
+        # has materialized, seen_r's blocks are dead — without an explicit
+        # unpersist the logical-plan chain keeps every round's checkpointed
+        # RDD reachable and block-manager storage grows O(rounds × seen size)
+        # over a long crawl. (state_dir mode has no such chain — each round
+        # re-reads parquet.)
+        seen_ckpt_rdds: List = []
+
+        def _ckpt_rdd_handle(df: DataFrame):
+            """JVM RDD behind a localCheckpoint'd DataFrame (LogicalRDD)."""
+            try:
+                return df._jdf.queryExecution().analyzed().rdd()
+            except Exception:
+                return None
 
         def _t(label: str, since: list) -> None:
             if _dbg:
@@ -498,6 +525,15 @@ class CrawlJob:
                     rows_hint=n_fetched * 4,
                 )
                 _t('assign_seq', _since)
+                # the sizing job above ran the anti-join → the CURRENT seen
+                # checkpoint (last handle) is now materialized; every older
+                # seen checkpoint's blocks are dead — free them
+                for h in seen_ckpt_rdds[:-1]:
+                    try:
+                        h.unpersist(False)
+                    except Exception:
+                        pass
+                del seen_ckpt_rdds[:-1]
                 new_frontier = (
                     new_frontier.withColumn("method", F.lit("GET"))
                     .withColumn("status", F.lit("pending"))
@@ -532,6 +568,9 @@ class CrawlJob:
                     .repartition(cfg.seen_partitions, "url_hash")
                     .localCheckpoint(eager=False)
                 )
+                h = _ckpt_rdd_handle(seen)
+                if h is not None:
+                    seen_ckpt_rdds.append(h)
             n_pending = n_deferred + n_new
 
             metrics.append(

@@ -189,6 +189,11 @@ _RAWTEXT_END = {
     "script": re.compile(r"</script\s*>", re.IGNORECASE),
     "style": re.compile(r"</style\s*>", re.IGNORECASE),
 }
+# attrs slice ending inside an unquoted attribute value: the '/' the token
+# regex captured as self-closing actually belongs to the value (HTML5
+# unquoted-attribute-value state consumes '/'; html.parser agrees —
+# '<a href=foo/>' is an OPEN anchor with href='foo/')
+_UNQUOTED_VAL_END = re.compile(r"=\s*[^\s\"'>]*$")
 
 
 def parse_html(html: Union[str, bytes]) -> Element:
@@ -245,11 +250,16 @@ def parse_html(html: Union[str, bytes]) -> Element:
             if not tag.islower():
                 tag = tag.lower()
             top = stack[-1]
-            el = Element(tag, m.group("attrs"), top, len(nodes))
+            raw_attrs = m.group("attrs")
+            selfc = m.group("selfc")
+            if selfc and raw_attrs and _UNQUOTED_VAL_END.search(raw_attrs):
+                raw_attrs += "/"  # fold the '/' back into the unquoted value
+                selfc = ""
+            el = Element(tag, raw_attrs, top, len(nodes))
             el._nodes = nodes
             nodes.append(el)
             top.children.append(el)
-            if m.group("selfc") or tag in VOID_ELEMENTS:
+            if selfc or tag in VOID_ELEMENTS:
                 pass  # end already = order + 1
             elif tag in _RAWTEXT_END:
                 end_m = _RAWTEXT_END[tag].search(html, pos)
@@ -327,16 +337,25 @@ class _Compound:
         if el._attrib is None:
             # attrs not parsed yet: cheap substring pre-reject on the raw tag
             # slice (a matching id/class/attr name must appear literally in
-            # it) — only plausible candidates pay the dict build below
+            # it) — only plausible candidates pay the dict build below.
+            # Skipped when the raw slice is entity-encoded ('&'): the decoded
+            # value may match even though the encoded text doesn't. Attribute
+            # NAMES are matched against the lowercased raw (the attrib dict
+            # lowercases names, so '<p DATA-FOO>' must not be pre-rejected
+            # for '[data-foo]'); id/class VALUES are case-sensitive, so the
+            # original-case test is a valid necessary condition for them.
             raw = el._raw_attrs
-            if self.id is not None and self.id not in raw:
-                return False
-            for c in self.classes:
-                if c not in raw:
+            if "&" not in raw:
+                if self.id is not None and self.id not in raw:
                     return False
-            for name, _val in self.attrs:
-                if name not in raw:
-                    return False
+                for c in self.classes:
+                    if c not in raw:
+                        return False
+                if self.attrs:
+                    raw_l = raw.lower()
+                    for name, _val in self.attrs:
+                        if name not in raw_l:
+                            return False
         attrib = el.attrib
         if self.id is not None and attrib.get("id") != self.id:
             return False
@@ -361,13 +380,16 @@ def _parse_compound(s: str) -> _Compound:
         if not m:
             raise ValueError(f"unsupported CSS selector fragment: {s[pos:]!r}")
         if m.group("tag"):
-            comp.tag = m.group("tag")
+            # HTML element/attribute names are ASCII case-insensitive
+            # (lxml's HTML translator lowercases them); id/class values
+            # stay case-sensitive
+            comp.tag = m.group("tag").lower()
         elif m.group("cls"):
             comp.classes.append(m.group("cls"))
         elif m.group("id"):
             comp.id = m.group("id")
         elif m.group("attr"):
-            comp.attrs.append((m.group("attr"), m.group("val")))
+            comp.attrs.append((m.group("attr").lower(), m.group("val")))
         elif m.group("pseudo"):
             comp.root = True
         pos = m.end()

@@ -161,6 +161,34 @@ def test_resume_continues_from_checkpoint(spark, tmp_path):
     assert total_urls == {r["url"] for r in full.trace.select("url").collect()}
 
 
+def test_crawl_seed_with_explicit_port(spark):
+    """Allowed-domain set must use parse_url-HOST semantics: a seed with an
+    explicit port must not be dropped by its own allowed-domains gate."""
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [
+            ("http://localhost:8080/",
+             "<html><body><a href='/p1.html'>1</a><p class='t'>root</p></body></html>"),
+            ("http://localhost:8080/p1.html",
+             "<html><body><p class='t'>one</p></body></html>"),
+        ],
+        "url string, html string",
+    ).select("url", F.encode("html", "UTF-8").alias("html"))
+    app = Scraper()
+
+    @app.select(css="p.t")
+    def t(element):
+        return {"t": element.text_content()}
+
+    job = CrawlJob(spark, app, pages, config=CrawlConfig(max_rounds=5))
+    res = job.run(["http://localhost:8080/"])
+    assert sorted(r["url"] for r in res.trace.collect()) == [
+        "http://localhost:8080/",
+        "http://localhost:8080/p1.html",
+    ]
+
+
 def test_politeness_defers_but_completes(spark):
     """Tiny budget → many rounds, same final fetched set."""
     app = make_scraper()

@@ -98,3 +98,35 @@ def test_getitem_attr_and_child():
     a = css_select(root, "a")[0]
     assert a["href"] == "h"
     assert root[0].tag == "a"
+
+
+def test_uppercase_attr_name_prefilter():
+    # lazy-attr pre-filter must not reject uppercase attribute names
+    # (attrib dict lowercases names; the raw slice keeps original case)
+    root = parse_html('<html><body><p DATA-FOO="1">x</p></body></html>')
+    assert len(css_select(root, "[data-foo]")) == 1
+    assert len(css_select(root, '[data-foo="1"]')) == 1
+
+
+def test_entity_encoded_attr_value():
+    root = parse_html('<html><body><a class="a&amp;b">x</a></body></html>')
+    assert len(css_select(root, "[class=a&b]")) == 1
+
+
+def test_selector_name_case_insensitive():
+    root = parse_html("<div><P>x</P></div>")
+    assert len(css_select(root, "p")) == 1
+    assert len(css_select(root, "P")) == 1
+
+
+def test_unquoted_attr_trailing_slash():
+    # '<a href=foo/>' — the '/' is part of the unquoted value (HTML5 /
+    # html.parser), NOT a self-close: anchor stays open, text preserved
+    root = parse_html("<html><body><a href=foo/>t</a></body></html>")
+    a = css_select(root, "a")[0]
+    assert a.get("href") == "foo/"
+    assert a.text_content() == "t"
+    # quoted + XML-style self-close still closes
+    root2 = parse_html('<html><body><span id="s"/><b>t</b></body></html>')
+    s = css_select(root2, "#s")[0]
+    assert s.children == []

@@ -95,10 +95,18 @@ def test_multimodal_stub_shapes(spark, docs):
     feats = decode_features(media)
     rows = feats.collect()
     assert len(rows) == 60
-    assert all(len(r["features"]) == 4 for r in rows)
+    # scalar int32 feature columns (driver-canon-safe)
+    assert all(isinstance(r["f0"], int) for r in rows)
+    fcols = ["f0", "f1", "f2", "f3"]
     # deterministic: same payload → same features
-    again = {r["media_id"]: r["features"] for r in decode_features(media).collect()}
-    assert all(again[r["media_id"]] == r["features"] for r in rows)
+    again = {r["media_id"]: [r[c] for c in fcols] for r in decode_features(media).collect()}
+    assert all(again[r["media_id"]] == [r[c] for c in fcols] for r in rows)
+    # features are the little-endian int32 words of md5(payload)
+    import hashlib, struct
+    one = rows[0]
+    src = media.filter(f"media_id = {one['media_id']}").collect()[0]
+    exp = struct.unpack("<4i", hashlib.md5(bytes(src["payload"])).digest())
+    assert [one[c] for c in fcols] == list(exp)
     plan = frame_sample_plan(media)
     assert plan.filter("frame_ts_ms % 1000 != 0").count() == 0
 
