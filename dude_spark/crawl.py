@@ -490,59 +490,66 @@ class CrawlJob:
             )
             results_parts.append(data_rows)
             trace_parts.append(
-                fetch_set.select("url", "depth", "seq").withColumn("round", F.lit(rnd))
+                fetch_set.select("url", "depth", "seq", "method").withColumn(
+                    "round", F.lit(rnd)
+                )
             )
 
             # -- frontier expansion -----------------------------------------
-            new_frontier = None
-            n_new = 0
-            if cfg.follow_urls:
-                links = (
-                    extracted.filter(F.col("kind") == "link")
-                    .select(
-                        canonicalize(F.col("link")).alias("url"),
-                        (F.col("depth") + 1).alias("depth"),
-                        F.col("seq").alias("parent_seq"),
-                        F.col("link_seq"),
-                    )
+            # Runs regardless of cfg.follow_urls: the kernel only emits
+            # auto-extracted links when follow_urls=True, but handler-driven
+            # follow_url() rows (reference base.py:358-359) must reach the
+            # frontier in either mode. With no link rows the expansion is one
+            # cheap empty-input sizing job.
+            links = (
+                extracted.filter(F.col("kind") == "link")
+                .select(
+                    canonicalize(F.col("link")).alias("url"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.col("seq").alias("parent_seq"),
+                    F.col("link_seq"),
                 )
-                links = with_url_meta(links)
-                links = gate_append(links)
-                if cfg.dedupe == "seen":
-                    cands = dedupe_candidates(
-                        links, seen, order_cols=("parent_seq", "link_seq"),
-                        broadcast_seen=seen_n <= cfg.broadcast_seen_max,
-                    )
-                else:
-                    cands = links
-                # lazy anchor: repartitionByRange inside assign_global_seq
-                # samples its input; the sampling pass materializes this
-                # checkpoint (extraction + link pipeline + dedupe, one job)
-                # and the shuffle pass reuses it
-                cands = cands.localCheckpoint(eager=False)
-                new_frontier, n_new = assign_global_seq(
-                    cands, ["parent_seq", "link_seq"], start=max_seq + 1,
-                    rows_hint=n_fetched * 4,
+            )
+            links = with_url_meta(links)
+            links = gate_append(links)
+            if cfg.dedupe == "seen":
+                cands = dedupe_candidates(
+                    links, seen, order_cols=("parent_seq", "link_seq"),
+                    broadcast_seen=seen_n <= cfg.broadcast_seen_max,
                 )
-                _t('assign_seq', _since)
-                # the sizing job above ran the anti-join → the CURRENT seen
-                # checkpoint (last handle) is now materialized; every older
-                # seen checkpoint's blocks are dead — free them
-                for h in seen_ckpt_rdds[:-1]:
-                    try:
-                        h.unpersist(False)
-                    except Exception:
-                        pass
-                del seen_ckpt_rdds[:-1]
+            else:
+                cands = links
+            # lazy anchor: repartitionByRange inside assign_global_seq
+            # samples its input; the sampling pass materializes this
+            # checkpoint (extraction + link pipeline + dedupe, one job)
+            # and the shuffle pass reuses it
+            cands = cands.localCheckpoint(eager=False)
+            new_frontier, n_new = assign_global_seq(
+                cands, ["parent_seq", "link_seq"], start=max_seq + 1,
+                rows_hint=n_fetched * 4,
+            )
+            _t('assign_seq', _since)
+            # the sizing job above ran the anti-join → the CURRENT seen
+            # checkpoint (last handle) is now materialized; every older
+            # seen checkpoint's blocks are dead — free them
+            for h in seen_ckpt_rdds[:-1]:
+                try:
+                    h.unpersist(False)
+                except Exception:
+                    pass
+            del seen_ckpt_rdds[:-1]
+            if n_new:
                 new_frontier = (
                     new_frontier.withColumn("method", F.lit("GET"))
                     .withColumn("status", F.lit("pending"))
                     .withColumn("round", F.lit(rnd + 1))
                     .select(*CRAWL_COLS)
                 )
-                prev_max = max_seq
-                max_seq += n_new
-                seen_n += n_new
+            else:
+                new_frontier = None
+            prev_max = max_seq
+            max_seq += n_new
+            seen_n += n_new
 
             if deferred is None and new_frontier is None:
                 frontier = spark.createDataFrame([], frontier.schema)
@@ -596,7 +603,9 @@ class CrawlJob:
         results = empty
         for p in results_parts:
             results = results.unionByName(p)
-        trace = self.spark.createDataFrame([], "url string, depth int, seq bigint, round int")
+        trace = self.spark.createDataFrame(
+            [], "url string, depth int, seq bigint, method string, round int"
+        )
         for p in trace_parts:
             trace = trace.unionByName(p)
         return CrawlResult(results=results, trace=trace, seen=seen, metrics=metrics)

@@ -194,7 +194,11 @@ def extract_page_rows(
         links = extract_links(root, url, mode=link_mode)
     else:
         links = []
-    links.extend(follow_extra)
+    # follow_url() targets may be relative (the reference hands the raw
+    # string to the frontier, but its handlers receive absolute URLs from
+    # the live page; our page-table handlers see raw hrefs) — absolutize
+    # against the page URL like the auto-extracted links
+    links.extend(urljoin(url, f) for f in follow_extra)
     for i, link in enumerate(links):
         rows.append((url, page_number, -1, -1, -1, -1, None, "link", link, i))
     if plan.navigate_rules:

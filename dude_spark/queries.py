@@ -446,6 +446,395 @@ FROM layout GROUP BY host_id
 
 
 # ---------------------------------------------------------------------------
+# A2. §2 operator coverage: generator fan-out, navigate/pages loop,
+# start_requests, follow_url, sinks, output order, adblock, setup rules
+# ---------------------------------------------------------------------------
+
+def q_generator_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 generator fan-out (``base.py:541-551``, golden
+    ``tests/conftest.py:138-169``): a generator handler yields many rows per
+    element with re-numbered element_index."""
+    app = Scraper()
+
+    @app.group(css=".custom-group")
+    @app.select(css=".title")
+    def multi(element):
+        yield {"t": element.text_content(), "part": "base"}
+        yield {"t": element.text_content() + "!", "part": "bang"}
+
+    ext = _extract_once(spark, sf_dir, app)
+    return ext.filter(F.col("kind") == "data").select(
+        "page_url",
+        F.col("group_index").cast("long").alias("group_index"),
+        F.col("element_index").cast("long").alias("element_index"),
+        F.col("data").getItem("part").alias("part"),
+        F.col("data").getItem("t").alias("t"),
+    )
+
+
+ORACLE_GENERATOR_FANOUT = LAYOUT_CTE + """
+SELECT url AS page_url, (k - 1) AS group_index, i AS element_index,
+       CASE WHEN i = 0 THEN 'base' ELSE 'bang' END AS part,
+       'Title ' || doc_id || '-' || k || (CASE WHEN i = 1 THEN '!' ELSE '' END) AS t
+FROM (SELECT *, unnest(generate_series(1, n_groups)) AS k FROM layout),
+     (SELECT unnest(generate_series(0, 1)) AS i)
+"""
+
+
+def q_pages_navigate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 pages loop + E9 navigate handler + O3 page cap + O4 first-match
+    (``playwright_scraper.py:190-199`` stop conditions): seeds re-extracted
+    up to pages=3 times, following the FIRST ``a.next`` each time
+    (page-0 → page-1 → page-3 in the corpus's binary link tree)."""
+    app = Scraper()
+
+    @app.group(css=".custom-group")
+    @app.select(css=".title")
+    def title(element):
+        return {"title": element.text_content()}
+
+    @app.select(css="a.next", navigate=True)
+    def nav(element):
+        return element.get("href")
+
+    pages = pages_df(spark, sf_dir).select("url", "html")
+    job = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(
+            follow_urls=False, pages=3, max_rounds=1, round_seconds=3600
+        ),
+    )
+    res = job.run(seeds())
+    return res.results.filter(F.col("kind") == "data").select(
+        "page_url",
+        F.col("page_number").cast("long").alias("page_number"),
+        F.col("group_index").cast("long").alias("group_index"),
+        F.col("data").getItem("title").alias("title"),
+    )
+
+
+ORACLE_PAGES_NAVIGATE = LAYOUT_CTE + """
+SELECT url AS page_url,
+       (CASE local WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END)::BIGINT AS page_number,
+       (k - 1) AS group_index,
+       'Title ' || doc_id || '-' || k AS title
+FROM (SELECT *, unnest(generate_series(1, n_groups)) AS k FROM layout)
+WHERE local IN (0, 1, 3)
+"""
+
+
+def q_start_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 ``@start_requests`` (``base.py:340-353``): request seeds drain
+    AFTER the plain URL frontier (``optional/utils.py:48-66``) and carry
+    their method."""
+    from .api import SeedRequest
+
+    app = Scraper()
+
+    @app.select(css="p.content")
+    def content(element):
+        return {"c": "1"}
+
+    @app.start_requests()
+    def reqs():
+        yield SeedRequest(url="https://host-2.test/page-0.html", method="POST")
+
+    pages = pages_df(spark, sf_dir).select("url", "html")
+    job = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(follow_urls=False, max_rounds=1, round_seconds=3600),
+    )
+    res = job.run(seeds()[:2])
+    return res.trace.select(
+        "url", F.col("seq").cast("long").alias("seq"), "method"
+    )
+
+
+ORACLE_START_REQUESTS = """
+SELECT 'https://host-0.test/page-0.html' AS url, 0::BIGINT AS seq, 'GET' AS method
+UNION ALL
+SELECT 'https://host-1.test/page-0.html', 1, 'GET'
+UNION ALL
+SELECT 'https://host-2.test/page-0.html', 2, 'POST'
+"""
+
+
+def q_follow_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 ``follow_url()`` (``base.py:358-359``, fixture
+    ``tests/test_bs4.py:153-168``): handler-driven frontier appends flow even
+    with follow_urls=False; appended URLs are fetched in handler-emit order
+    (item pages have no content — attempted like the reference's 404s)."""
+    app = Scraper()
+
+    @app.select(css="a.url", group_css=".custom-group")
+    def item(element):
+        return {"item_href": element.get("href"), "__follow__": element.get("href")}
+
+    pages = pages_df(spark, sf_dir).select("url", "html")
+    job = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(follow_urls=False, max_rounds=3, round_seconds=3600),
+    )
+    res = job.run(seeds())
+    return res.trace.select(
+        "url",
+        F.col("depth").cast("long").alias("depth"),
+        F.col("seq").cast("long").alias("seq"),
+    )
+
+
+ORACLE_FOLLOW_URL = LAYOUT_CTE + """
+, seed_rows AS (
+  SELECT url, 0::BIGINT AS depth, host_id::BIGINT AS seq
+  FROM layout WHERE local = 0
+), roots AS (
+  SELECT host_id, n_groups,
+         20 + coalesce(sum(n_groups) OVER (ORDER BY host_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM layout WHERE local = 0
+), items AS (
+  SELECT 'https://host-' || host_id || '.test/item-' || host_id || '-' || k || '.html' AS url,
+         1::BIGINT AS depth, (base + k - 1)::BIGINT AS seq
+  FROM (SELECT *, unnest(generate_series(1, n_groups)) AS k FROM roots)
+)
+SELECT * FROM seed_rows UNION ALL SELECT * FROM items
+"""
+
+
+def q_sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 JSON sink round-trip (``storage.py:8-30``): flatten → dispatch_save
+    (with extension override S10, ``base.py:626-627``: format='csv' but
+    .json output wins) → parse the file back. Single-file sinks are
+    driver-side by design (reference writes one file; the distributed path
+    is save_distributed)."""
+    import json as _json
+    import os
+    import tempfile
+
+    from .sinks import dispatch_save
+
+    ext = _extract_once(spark, sf_dir, _extraction_scraper())
+    flat = flatten(ext, ordered=True)
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "out.json")
+        dispatch_save(flat, format="csv", output=out)  # .json extension wins
+        with open(out) as f:
+            rows = _json.load(f)
+    data = [
+        (r["_page_url"], int(r["_group_index"]), r.get("title"), r.get("item_href"))
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        data, "page_url string, group_index long, title string, item_href string"
+    )
+
+
+ORACLE_SINK_ROUNDTRIP = LAYOUT_CTE + """
+SELECT url AS page_url, (k - 1) AS group_index,
+       'Title ' || doc_id || '-' || k AS title,
+       'item-' || doc_id || '-' || k || '.html' AS item_href
+FROM (SELECT *, unnest(generate_series(1, n_groups)) AS k FROM layout)
+"""
+
+
+def q_sink_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 YAML sink round-trip (``storage.py:52-67``)."""
+    import os
+    import tempfile
+
+    import yaml
+
+    from .sinks import dispatch_save
+
+    ext = _extract_once(spark, sf_dir, _extraction_scraper())
+    flat = flatten(ext, ordered=True)
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "out.yml")
+        dispatch_save(flat, format="yaml", output=out)
+        with open(out) as f:
+            rows = yaml.safe_load(f)
+    data = [
+        (r["_page_url"], int(r["_group_index"]), r.get("title"), r.get("item_href"))
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        data, "page_url string, group_index long, title string, item_href string"
+    )
+
+
+def q_sink_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 custom-sink registry semantics as data (``base.py:624-666``):
+    extension override, custom rules shadowing built-ins per
+    (format, is_per_page) key, KeyError on unknown key
+    (``tests/test_playwright_sync.py:269-273``)."""
+    from .sinks import resolve_sink
+
+    def my_custom(data, output):
+        return True
+
+    rules = {("custom", False): my_custom, ("json", True): my_custom}
+    cases = [
+        ("json", None, False),
+        ("csv", None, False),
+        ("yaml", None, False),
+        ("json", "/tmp/out.csv", False),  # extension overrides format
+        ("custom", None, False),          # custom rule
+        ("json", None, True),             # custom shadows builtin (json, per_page)
+        ("nope", None, False),            # unknown → KeyError
+        ("custom", None, True),           # registered only for per_page=False
+    ]
+    rows = []
+    for fmt, out, per_page in cases:
+        rf, hn = resolve_sink(fmt, out, per_page, rules)
+        rows.append((fmt, out or "", "Y" if per_page else "N", rf, hn))
+    return spark.createDataFrame(
+        rows,
+        "fmt string, output string, per_page string, resolved_format string, handler string",
+    )
+
+
+ORACLE_SINK_DISPATCH = """
+SELECT * FROM (VALUES
+  ('json', '', 'N', 'json', 'save_json'),
+  ('csv', '', 'N', 'csv', 'save_csv'),
+  ('yaml', '', 'N', 'yaml', 'save_yaml'),
+  ('json', '/tmp/out.csv', 'N', 'csv', 'save_csv'),
+  ('custom', '', 'N', 'custom', 'my_custom'),
+  ('json', '', 'Y', 'json', 'my_custom'),
+  ('nope', '', 'N', 'nope', 'KeyError'),
+  ('custom', '', 'Y', 'custom', 'KeyError')
+) AS t(fmt, output, per_page, resolved_format, handler)
+"""
+
+
+def q_save_per_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 save-per-page (``base.py:125-139``): per-round micro-batches are
+    disjoint and union to the full output — one flattened-row count per
+    crawl round (round = BFS depth on this corpus)."""
+    app = _extraction_scraper()
+    pages = pages_df(spark, sf_dir).select("url", "html")
+    job = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(follow_urls=True, max_rounds=40, round_seconds=3600),
+    )
+    res = job.run(seeds())
+    return (
+        res.results
+        .select("round", "page_url", "page_number", "group_index", "group_id", "element_index")
+        .distinct()
+        .groupBy("round")
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.col("round").cast("long").alias("round"), F.col("n_rows").cast("long").alias("n_rows"))
+    )
+
+
+ORACLE_SAVE_PER_PAGE = LAYOUT_CTE + """
+SELECT CAST(floor(log2(local + 1)) AS BIGINT) AS round, sum(n_groups)::BIGINT AS n_rows
+FROM layout
+WHERE NOT (
+  host_id % 4 = 0 AND host_id % 5 != 4
+  AND floor(log2(local + 1)) >= 3
+  AND floor((local + 1) / pow(2, floor(log2(local + 1)) - 3)) = 8
+)
+GROUP BY 1
+"""
+
+
+def q_output_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 output total order (``scraped_data.py:14-15``: sort by page_number,
+    group_index, group_id, element_index; page_url as the deterministic
+    tie-break) — also pins the deterministic group_id formula
+    (group-selector ordinal × 1e6 + DOM node order). The global window is
+    oracle-check-only; production exports sort within partitions."""
+    app = Scraper()
+
+    @app.group(css=".custom-group")
+    @app.select(css=".title")
+    def title(element):
+        return {"title": element.text_content()}
+
+    from pyspark.sql import Window
+
+    ext = _extract_once(spark, sf_dir, app)
+    flat = flatten(ext, ordered=False)
+    w = Window.orderBy(
+        "_page_number", "_group_index", "_group_id", "_element_index", "_page_url"
+    )
+    return flat.withColumn("rank", F.row_number().over(w)).select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("_page_url").alias("page_url"),
+        F.col("_group_id").cast("long").alias("group_id"),
+        F.col("data").getItem("title").alias("title"),
+    )
+
+
+# group k's <div> DOM node order in the corpus page: #document,html,head,
+# meta,title,body = 0..5; then per group div,a,p.title[,p.description] →
+# k=1 div at 6 (4 nodes, has description), k=2 at 10 (3 nodes, none),
+# k=3 at 13
+ORACLE_OUTPUT_ORDER = LAYOUT_CTE + """
+, r AS (
+  SELECT url, k, (CASE k WHEN 1 THEN 6 WHEN 2 THEN 10 ELSE 13 END)::BIGINT AS group_id,
+         'Title ' || doc_id || '-' || k AS title
+  FROM (SELECT *, unnest(generate_series(1, n_groups)) AS k FROM layout)
+)
+SELECT row_number() OVER (ORDER BY k, url)::BIGINT AS rank,
+       url AS page_url, group_id, title
+FROM r
+"""
+
+
+def q_adblock_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 adblock URL filter (``optional/utils.py:31-46``): ``||domain^``
+    host anchor (incl. subdomains), ``/regex/`` rules, substring rules —
+    compiled to JVM-side regex filters."""
+    from .politeness import adblock_filter
+
+    pages = pages_df(spark, sf_dir)
+    frontier = pages.select("url")
+    rules = ["||host-3.test^", "page-1.html", r"/page-2[0-9]\.html$/"]
+    return adblock_filter(frontier, rules).select("url")
+
+
+ORACLE_ADBLOCK = LAYOUT_CTE + """
+SELECT url FROM layout
+WHERE host_id != 3
+  AND NOT regexp_matches(url, 'page\\-1\\.html')
+  AND NOT regexp_matches(url, 'page-2[0-9]\\.html$')
+"""
+
+
+def q_setup_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 setup handler (``base.py:147``, ``playwright_scraper.py:71-101``):
+    runs per matched element BEFORE scraping and mutates the DOM; the scrape
+    rules then see the mutated tree."""
+    app = Scraper()
+
+    @app.select(css=".title", setup=True)
+    def mark(element):
+        element.children[0] = "S:" + element.first_text()
+
+    @app.group(css=".custom-group")
+    @app.select(css=".title")
+    def title(element):
+        return {"title": element.text_content()}
+
+    ext = _extract_once(spark, sf_dir, app)
+    return ext.filter(F.col("kind") == "data").select(
+        "page_url",
+        F.col("group_index").cast("long").alias("group_index"),
+        F.col("data").getItem("title").alias("title"),
+    )
+
+
+ORACLE_SETUP_RULE = LAYOUT_CTE + """
+SELECT url AS page_url, (k - 1) AS group_index,
+       'S:Title ' || doc_id || '-' || k AS title
+FROM (SELECT *, unnest(generate_series(1, n_groups)) AS k FROM layout)
+"""
+
+
+# ---------------------------------------------------------------------------
 # B. training-data pipeline queries (documents / embeddings / events)
 # ---------------------------------------------------------------------------
 
@@ -914,6 +1303,18 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_merge": q_flatten_merge,
         "pivot_extract": q_pivot_extract,
         "frontier_dedupe": q_frontier_dedupe,
+        # §2 operator coverage
+        "generator_fanout": q_generator_fanout,
+        "pages_navigate": q_pages_navigate,
+        "start_requests": q_start_requests,
+        "follow_url": q_follow_url,
+        "sink_json": q_sink_json,
+        "sink_yaml": q_sink_yaml,
+        "sink_dispatch": q_sink_dispatch,
+        "save_per_page": q_save_per_page,
+        "output_order": q_output_order,
+        "adblock_gate": q_adblock_gate,
+        "setup_rule": q_setup_rule,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -945,6 +1346,17 @@ def oracle_sql() -> Dict[str, str]:
         "flatten_merge": ORACLE_FLATTEN_MERGE,
         "pivot_extract": ORACLE_PIVOT_EXTRACT,
         "frontier_dedupe": ORACLE_FRONTIER_DEDUPE,
+        "generator_fanout": ORACLE_GENERATOR_FANOUT,
+        "pages_navigate": ORACLE_PAGES_NAVIGATE,
+        "start_requests": ORACLE_START_REQUESTS,
+        "follow_url": ORACLE_FOLLOW_URL,
+        "sink_json": ORACLE_SINK_ROUNDTRIP,
+        "sink_yaml": ORACLE_SINK_ROUNDTRIP,
+        "sink_dispatch": ORACLE_SINK_DISPATCH,
+        "save_per_page": ORACLE_SAVE_PER_PAGE,
+        "output_order": ORACLE_OUTPUT_ORDER,
+        "adblock_gate": ORACLE_ADBLOCK,
+        "setup_rule": ORACLE_SETUP_RULE,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_lsh": _oracle_minhash(),
         "dedup_simhash": _oracle_simhash(),

@@ -127,6 +127,31 @@ def dispatch_save(
         raise Exception("Failed to save output %s." % {"output": output, "format": format})
 
 
+def resolve_sink(
+    format: str,
+    output: Optional[str],
+    save_per_page: bool = False,
+    save_rules: Optional[Dict[Tuple[str, bool], Callable]] = None,
+) -> Tuple[str, str]:
+    """Dispatch decision only (no save): → (resolved_format, handler_name).
+
+    Pins the reference's dispatch semantics (``base.py:624-666``) as data:
+    the output-file extension OVERRIDES the requested format
+    (``base.py:626-627``), custom ``@save`` rules shadow built-ins for their
+    (format, is_per_page) key, and an unknown key resolves to ``'KeyError'``
+    (``tests/test_playwright_sync.py:269-273``).
+    """
+    if output:
+        format = Path(output).suffix.lower()[1:]
+    registry = dict(BUILTIN_SINKS)
+    registry.update(save_rules or {})
+    try:
+        handler = registry[format, save_per_page]
+    except KeyError:
+        return format, "KeyError"
+    return format, getattr(handler, "__name__", "handler")
+
+
 def save_distributed(
     flattened: DataFrame, output_dir: str, format: str = "parquet", mode: str = "append"
 ) -> None:
