@@ -11,13 +11,22 @@ Semantics are pinned to the reference's lxml backend:
 
 - CSS (and untyped ``selector=``) — evaluated with *descendant-or-self*
   scope relative to the context element (lxml's ``Element.cssselect``).
-  Supported subset: tag, ``.class``, ``#id``, ``[attr]``, ``[attr=val]``,
-  ``*``, ``:root``, compound selectors, descendant (space) and child (``>``)
-  combinators, and selector groups (``,``). Results in document order.
-- XPath — subset: ``.//name``, ``//name``, ``./name``, ``*`` wildcards,
-  chained steps, predicates ``[contains(@attr,'s')]``, ``[contains(text(),'s')]``,
-  ``[@attr='v']``, ``[@attr]``, ``[N]`` (1-based position), plus trailing
-  ``/@attr`` and ``/text()`` value steps.
+  Supported subset: tag, ``.class``, ``#id``, ``[attr]`` with operators
+  ``= ~= ^= $= *= |=``, ``*``, ``:root``, structural pseudo-classes
+  (``:first-child :last-child :only-child :empty :nth-child(an+b|odd|even)
+  :first-of-type :last-of-type :nth-of-type :not(compound)``), compound
+  selectors, combinators (descendant, ``>``, ``+``, ``~`` — matched with
+  backtracking, bounded to the context subtree), and selector groups
+  (``,``). Results in document order.
+- XPath — subset: ``.//name``, ``//name``, ``./name``, ``*``/``node()``
+  wildcards, ``..``, explicit axes (``following-sibling:: preceding-
+  sibling:: parent:: self:: child:: descendant::``), chained steps,
+  predicates applied sequentially with top-level ``or``/``and``/``not()``
+  over atoms ``contains(@a,'s')``, ``contains(text(),'s')``,
+  ``starts-with(@a|text(),'s')``, ``re:test(text(),pat[,flags])``,
+  ``text()='v'``, ``@a='v'``, ``@a!='v'``, ``[@a]``, ``[N]``,
+  ``position() op N``, ``last()``; plus trailing ``/@attr`` and
+  ``/text()`` value steps.
 - TEXT selector ``s`` — lxml translation ``.//*[contains(text(), s)]``
   (``lxml_scraper.py:186-188``): *first direct text node* contains ``s``
   (XPath 1.0 node-set→string takes the first node).
@@ -308,22 +317,105 @@ _CSS_TOKEN = re.compile(
     (?P<tag>\*|[a-zA-Z][\w-]*)
   | \.(?P<cls>[\w-]+)
   | \#(?P<id>[\w-]+)
-  | \[(?P<attr>[\w-]+)(?:=(?P<quote>["']?)(?P<val>[^\]"']*)(?P=quote))?\]
-  | :(?P<pseudo>root)
+  | \[(?P<attr>[\w-]+)(?:(?P<op>[~^$*|]?=)(?P<quote>["']?)(?P<val>[^\]"']*)(?P=quote))?\]
+  | :(?P<pseudo>[\w-]+)(?:\((?P<parg>[^()]*)\))?
     """,
     re.VERBOSE,
 )
 
+_NTH = re.compile(r"^\s*(?:(?P<a>[+-]?\d*)n\s*(?P<b>[+-]\s*\d+)?|(?P<idx>[+-]?\d+))\s*$")
+
+
+def _parse_nth(arg: str) -> Tuple[int, int]:
+    """nth-child argument → (a, b) of an+b; supports odd/even/N/an+b."""
+    arg = arg.strip().lower()
+    if arg == "odd":
+        return 2, 1
+    if arg == "even":
+        return 2, 0
+    m = _NTH.match(arg)
+    if not m:
+        raise ValueError(f"unsupported :nth-child() argument: {arg!r}")
+    if m.group("idx") is not None:
+        return 0, int(m.group("idx"))
+    a_s = m.group("a")
+    a = 1 if a_s in ("", "+") else (-1 if a_s == "-" else int(a_s))
+    b = int(m.group("b").replace(" ", "")) if m.group("b") else 0
+    return a, b
+
 
 class _Compound:
-    __slots__ = ("tag", "classes", "id", "attrs", "root")
+    __slots__ = ("tag", "classes", "id", "attrs", "root", "pseudos")
 
     def __init__(self) -> None:
         self.tag: Optional[str] = None
         self.classes: List[str] = []
         self.id: Optional[str] = None
-        self.attrs: List[Tuple[str, Optional[str]]] = []
+        # (name, op, val); op ∈ {'=', '~=', '^=', '$=', '*=', '|='}, val None
+        # for bare [attr]
+        self.attrs: List[Tuple[str, str, Optional[str]]] = []
         self.root = False
+        # ('nth', a, b) | ('nth-type', a, b) | ('last',) | ('last-type',)
+        # | ('only',) | ('empty',) | ('not', _Compound)
+        self.pseudos: List[tuple] = []
+
+    @staticmethod
+    def _attr_op(av: str, op: str, val: str) -> bool:
+        if op == "=":
+            return av == val
+        if op == "~=":
+            return val in av.split()
+        if op == "|=":
+            return av == val or av.startswith(val + "-")
+        if not val:
+            return False  # ^=/$=/*= with empty value match nothing (CSS spec)
+        if op == "^=":
+            return av.startswith(val)
+        if op == "$=":
+            return av.endswith(val)
+        return val in av  # *=
+
+    def _sibling_position(self, el: Element, of_type: bool) -> Tuple[int, int]:
+        """(1-based index, count) among the parent's element children
+        (optionally same-tag only)."""
+        p = el.parent
+        if p is None:
+            return 1, 1
+        sibs = [
+            c for c in p.children
+            if isinstance(c, Element) and (not of_type or c.tag == el.tag)
+        ]
+        return sibs.index(el) + 1, len(sibs)
+
+    def _pseudo_match(self, el: Element) -> bool:
+        for ps in self.pseudos:
+            kind = ps[0]
+            if kind in ("nth", "nth-type"):
+                a, b = ps[1], ps[2]
+                idx, _ = self._sibling_position(el, kind == "nth-type")
+                if a == 0:
+                    if idx != b:
+                        return False
+                else:
+                    d = idx - b
+                    if d % a != 0 or d // a < 0:
+                        return False
+            elif kind in ("last", "last-type"):
+                idx, n = self._sibling_position(el, kind == "last-type")
+                if idx != n:
+                    return False
+            elif kind == "only":
+                idx, n = self._sibling_position(el, False)
+                if n != 1:
+                    return False
+            elif kind == "empty":
+                for c in el.children:
+                    if isinstance(c, Element) or (isinstance(c, str) and c):
+                        return False
+            else:  # ('not', compound)
+                if ps[1].matches(el):
+                    return False
+        return True
 
     def matches(self, el: Element) -> bool:
         if self.tag is not None and self.tag != "*" and el.tag != self.tag:
@@ -333,7 +425,7 @@ class _Compound:
             if el.parent is not None and el.parent.tag != "#document":
                 return False
         if self.id is None and not self.classes and not self.attrs:
-            return True
+            return self._pseudo_match(el) if self.pseudos else True
         if el._attrib is None:
             # attrs not parsed yet: cheap substring pre-reject on the raw tag
             # slice (a matching id/class/attr name must appear literally in
@@ -353,7 +445,7 @@ class _Compound:
                         return False
                 if self.attrs:
                     raw_l = raw.lower()
-                    for name, _val in self.attrs:
+                    for name, _op, _val in self.attrs:
                         if name not in raw_l:
                             return False
         attrib = el.attrib
@@ -364,11 +456,13 @@ class _Compound:
             for c in self.classes:
                 if c not in cls:
                     return False
-        for name, val in self.attrs:
+        for name, op, val in self.attrs:
             if name not in attrib:
                 return False
-            if val is not None and attrib[name] != val:
+            if val is not None and not self._attr_op(attrib[name], op, val):
                 return False
+        if self.pseudos and not self._pseudo_match(el):
+            return False
         return True
 
 
@@ -389,24 +483,45 @@ def _parse_compound(s: str) -> _Compound:
         elif m.group("id"):
             comp.id = m.group("id")
         elif m.group("attr"):
-            comp.attrs.append((m.group("attr").lower(), m.group("val")))
+            op = m.group("op") or "="
+            comp.attrs.append((m.group("attr").lower(), op, m.group("val")))
         elif m.group("pseudo"):
-            comp.root = True
+            name = m.group("pseudo").lower()
+            arg = m.group("parg")
+            if name == "root":
+                comp.root = True
+            elif name == "first-child":
+                comp.pseudos.append(("nth", 0, 1))
+            elif name == "last-child":
+                comp.pseudos.append(("last",))
+            elif name == "only-child":
+                comp.pseudos.append(("only",))
+            elif name == "empty":
+                comp.pseudos.append(("empty",))
+            elif name == "first-of-type":
+                comp.pseudos.append(("nth-type", 0, 1))
+            elif name == "last-of-type":
+                comp.pseudos.append(("last-type",))
+            elif name == "nth-child" and arg is not None:
+                comp.pseudos.append(("nth", *_parse_nth(arg)))
+            elif name == "nth-of-type" and arg is not None:
+                comp.pseudos.append(("nth-type", *_parse_nth(arg)))
+            elif name == "not" and arg is not None:
+                comp.pseudos.append(("not", _parse_compound(arg.strip())))
+            else:
+                raise ValueError(f"unsupported CSS pseudo-class: :{name}")
         pos = m.end()
     return comp
-
-
-_CSS_SPLIT = re.compile(r"\s*(>)\s*|\s+")
 
 
 def _parse_css_chain(sel: str) -> List[Tuple[str, _Compound]]:
     """Parse one complex selector into [(combinator, compound), ...].
 
-    combinator: ' ' (descendant) or '>' (child); first entry's combinator
-    is 'self-or-descendant' scope.
+    combinator (the relation to the PREVIOUS compound): ' ' descendant,
+    '>' child, '+' adjacent sibling, '~' general sibling; first entry's
+    combinator is the 'self-or-descendant' scope marker.
     """
     parts: List[Tuple[str, _Compound]] = []
-    tokens: List[str] = []
     buf = ""
     i = 0
     sel = sel.strip()
@@ -417,13 +532,17 @@ def _parse_css_chain(sel: str) -> List[Tuple[str, _Compound]]:
             j = sel.index("]", i)
             buf += sel[i : j + 1]
             i = j + 1
-        elif ch in " >":
+        elif ch == "(":
+            j = sel.index(")", i)
+            buf += sel[i : j + 1]
+            i = j + 1
+        elif ch in " >+~":
             if buf:
                 parts.append((combin, _parse_compound(buf)))
                 buf = ""
                 combin = " "
-            if ch == ">":
-                combin = ">"
+            if ch in ">+~":
+                combin = ch
             i += 1
         else:
             buf += ch
@@ -432,35 +551,47 @@ def _parse_css_chain(sel: str) -> List[Tuple[str, _Compound]]:
         parts.append((combin, _parse_compound(buf)))
     if not parts:
         raise ValueError(f"empty CSS selector: {sel!r}")
+    if parts[0][0] != " ":  # leading combinator ('> x') unsupported
+        raise ValueError(f"unsupported CSS selector start: {sel!r}")
     return parts
 
 
-def _css_chain_matches(el: Element, chain: List[Tuple[str, _Compound]], scope: Element) -> bool:
-    """Match `el` against the chain, rightmost-first, within `scope`."""
-    if not chain[-1][1].matches(el):
+def _css_chain_matches(
+    el: Element, chain: List[Tuple[str, _Compound]], scope: Element, idx: int = -1
+) -> bool:
+    """Match ``el`` against ``chain[..idx]`` rightmost-first with
+    backtracking (needed for mixed sibling/descendant chains like
+    ``a + b c``), bounded to the ``scope`` subtree (lxml cssselect
+    translates 'div p' on an element to descendant-or-self steps, so every
+    compound must land on scope-or-descendant)."""
+    if idx < 0:
+        idx = len(chain) - 1
+    if not chain[idx][1].matches(el):
         return False
-    # walk remaining compounds up the ancestor axis
-    idx = len(chain) - 2
-    node = el
-    while idx >= 0:
-        combin, comp = chain[idx + 1][0], chain[idx][1]
-        if combin == ">":
-            node = node.parent
-            if node is None or not comp.matches(node):
-                return False
-            idx -= 1
-        else:
-            node = node.parent
-            found = False
-            while node is not None:
-                if comp.matches(node):
-                    found = True
-                    break
-                node = node.parent
-            if not found:
-                return False
-            idx -= 1
-    return True
+    if idx == 0:
+        return True
+    combin = chain[idx][0]
+    if combin == ">":
+        p = el.parent
+        return (
+            p is not None
+            and p.order >= scope.order
+            and _css_chain_matches(p, chain, scope, idx - 1)
+        )
+    if combin in "+~":
+        if el is scope or el.parent is None:
+            return False
+        sibs = [c for c in el.parent.children if isinstance(c, Element)]
+        i = sibs.index(el)
+        if combin == "+":
+            return i > 0 and _css_chain_matches(sibs[i - 1], chain, scope, idx - 1)
+        return any(_css_chain_matches(s, chain, scope, idx - 1) for s in sibs[:i])
+    anc = el.parent
+    while anc is not None and anc.order >= scope.order:
+        if _css_chain_matches(anc, chain, scope, idx - 1):
+            return True
+        anc = anc.parent
+    return False
 
 
 def css_select(scope: Element, expr: str) -> List[Element]:
@@ -484,13 +615,56 @@ _XP_PRED = re.compile(
     r"""^\s*(?:
       contains\(\s*@(?P<cattr>[\w-]+)\s*,\s*(?P<q1>["'])(?P<cval>.*?)(?P=q1)\s*\)
     | contains\(\s*text\(\)\s*,\s*(?P<q2>["'])(?P<tval>.*?)(?P=q2)\s*\)
+    | starts-with\(\s*@(?P<sattr>[\w-]+)\s*,\s*(?P<q6>["'])(?P<sval>.*?)(?P=q6)\s*\)
+    | starts-with\(\s*text\(\)\s*,\s*(?P<q7>["'])(?P<stval>.*?)(?P=q7)\s*\)
     | re:test\(\s*text\(\)\s*,\s*(?P<q3>["'])(?P<rpat>.*?)(?P=q3)\s*(?:,\s*(?P<q4>["'])(?P<rflags>.*?)(?P=q4)\s*)?\)
-    | @(?P<eattr>[\w-]+)\s*=\s*(?P<q5>["'])(?P<eval>.*?)(?P=q5)
+    | text\(\)\s*=\s*(?P<q8>["'])(?P<teq>.*?)(?P=q8)
+    | @(?P<eattr>[\w-]+)\s*(?P<neq>!)?=\s*(?P<q5>["'])(?P<eval>.*?)(?P=q5)
     | @(?P<xattr>[\w-]+)
+    | position\(\)\s*(?P<pcmp><=|>=|<|>|=)\s*(?P<pval>\d+)
+    | (?P<last>last\(\))
     | (?P<pos>\d+)
     )\s*$""",
     re.VERBOSE,
 )
+
+
+def _split_top(s: str, word: str) -> List[str]:
+    """Split ``s`` on the keyword ``word`` (e.g. 'or'/'and') at top level —
+    outside quotes, parens, and brackets; the keyword must be
+    whitespace-delimited."""
+    out: List[str] = []
+    depth = 0
+    q: Optional[str] = None
+    i = last = 0
+    L = len(s)
+    wl = len(word)
+    while i < L:
+        c = s[i]
+        if q:
+            if c == q:
+                q = None
+        elif c in "\"'":
+            q = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and s.startswith(word, i)
+            and i > 0
+            and s[i - 1].isspace()
+            and i + wl < L
+            and s[i + wl].isspace()
+        ):
+            out.append(s[last:i])
+            i += wl
+            last = i
+            continue
+        i += 1
+    out.append(s[last:])
+    return out
 
 
 class _Step:
@@ -543,7 +717,24 @@ def _parse_xpath(expr: str) -> List[_Step]:
     return steps
 
 
-def _pred_match(el: Element, pred: str, position: int) -> bool:
+def _pred_eval(el: Element, pred: str, position: int, total: int) -> bool:
+    """XPath predicate: top-level ``or`` → any, then ``and`` → all, then
+    atoms (``not(...)`` recurses)."""
+    ors = _split_top(pred, "or")
+    if len(ors) > 1:
+        return any(_pred_eval(el, p, position, total) for p in ors)
+    ands = _split_top(pred, "and")
+    if len(ands) > 1:
+        return all(_pred_eval(el, p, position, total) for p in ands)
+    atom = pred.strip()
+    if atom.startswith("(") and atom.endswith(")"):
+        return _pred_eval(el, atom[1:-1], position, total)
+    if atom.startswith("not(") and atom.endswith(")"):
+        return not _pred_eval(el, atom[4:-1], position, total)
+    return _pred_atom(el, atom, position, total)
+
+
+def _pred_atom(el: Element, pred: str, position: int, total: int) -> bool:
     m = _XP_PRED.match(pred)
     if not m:
         raise ValueError(f"unsupported XPath predicate: {pred!r}")
@@ -551,16 +742,37 @@ def _pred_match(el: Element, pred: str, position: int) -> bool:
         return m.group("cval") in (el.attrib.get(m.group("cattr")) or "")
     if m.group("tval") is not None:
         return m.group("tval") in el.first_text()
+    if m.group("sattr"):
+        return (el.attrib.get(m.group("sattr")) or "").startswith(m.group("sval"))
+    if m.group("stval") is not None:
+        return el.first_text().startswith(m.group("stval"))
     if m.group("rpat") is not None:
         flags = re.IGNORECASE if "i" in (m.group("rflags") or "") else 0
         return re.search(m.group("rpat"), el.first_text(), flags) is not None
+    if m.group("teq") is not None:
+        return el.first_text() == m.group("teq")
     if m.group("eattr"):
-        return el.attrib.get(m.group("eattr")) == m.group("eval")
+        eq = el.attrib.get(m.group("eattr")) == m.group("eval")
+        return not eq if m.group("neq") else eq
     if m.group("xattr"):
         return m.group("xattr") in el.attrib
+    if m.group("pcmp"):
+        v = int(m.group("pval"))
+        return {
+            "=": position == v, "<": position < v, ">": position > v,
+            "<=": position <= v, ">=": position >= v,
+        }[m.group("pcmp")]
+    if m.group("last"):
+        return position == total
     if m.group("pos"):
         return position == int(m.group("pos"))
     return False  # pragma: no cover
+
+
+def _elem_siblings(el: Element) -> List[Element]:
+    if el.parent is None:
+        return [el]
+    return [c for c in el.parent.children if isinstance(c, Element)]
 
 
 def xpath_select(scope: Element, expr: str):
@@ -577,19 +789,45 @@ def xpath_select(scope: Element, expr: str):
             for n in nodes:
                 out.extend(c for c in n.children if isinstance(c, str))
             return out
+        # explicit axis (following-sibling::p, parent::div, ..) overrides
+        # the '/'-vs-'//' axis
+        axis, name = step.axis, step.name
+        if "::" in name:
+            axis, _, name = name.partition("::")
+        elif name == "..":
+            axis, name = "parent", "*"
         nxt: List[Element] = []
         for n in nodes:
-            if step.axis == "descendant":
-                cand = list(n.iterdescendants())
-            else:
+            if axis == "descendant":
+                cand = n.iterdescendants()
+            elif axis == "child":
                 cand = [c for c in n.children if isinstance(c, Element)]
-            pos = 0
-            for el in cand:
-                if step.name != "*" and el.tag != step.name:
-                    continue
-                pos += 1
-                if all(_pred_match(el, p, pos) for p in step.preds):
-                    nxt.append(el)
+            elif axis == "following-sibling":
+                sibs = _elem_siblings(n)
+                cand = sibs[sibs.index(n) + 1 :]
+            elif axis == "preceding-sibling":
+                # reverse axis: position 1 = nearest preceding (XPath 1.0)
+                sibs = _elem_siblings(n)
+                cand = sibs[: sibs.index(n)][::-1]
+            elif axis == "parent":
+                cand = [n.parent] if n.parent is not None else []
+            elif axis == "self":
+                cand = [n]
+            else:
+                raise ValueError(f"unsupported XPath axis: {axis!r} in {expr!r}")
+            if name in ("node()", "*"):
+                cur = list(cand)
+            else:
+                cur = [el for el in cand if el.tag == name]
+            # predicates apply SEQUENTIALLY (XPath 1.0): each filters the
+            # node list produced so far; position()/last() are relative to
+            # that list per context node
+            for p in step.preds:
+                tot = len(cur)
+                cur = [
+                    el for i, el in enumerate(cur, 1) if _pred_eval(el, p, i, tot)
+                ]
+            nxt.extend(cur)
         # dedupe preserving document order (descendant axes can overlap)
         seen = set()
         nodes = []

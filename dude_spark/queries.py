@@ -445,6 +445,84 @@ FROM layout GROUP BY host_id
 """
 
 
+def q_css_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 widened CSS subset (parity target ``lxml.cssselect``,
+    ``optional/lxml_scraper.py:182-183``): attribute operators
+    (``^=``/``$=``), ``:nth-child``, and sibling combinators (``+``)."""
+    app = Scraper()
+
+    @app.select(css=".custom-group:nth-child(2) p.title")
+    def nth(element):
+        return {"t": "nth", "v": element.text_content()}
+
+    @app.select(css='a[href^="item-"][href$=".html"]')
+    def pref(element):
+        return {"t": "pref", "v": element.get("href")}
+
+    @app.select(css=".custom-group + .custom-group > a > p.title")
+    def sib(element):
+        return {"t": "sib", "v": element.text_content()}
+
+    ext = _extract_once(spark, sf_dir, app)
+    return ext.filter(F.col("kind") == "data").select(
+        "page_url",
+        F.col("data").getItem("t").alias("t"),
+        F.col("data").getItem("v").alias("v"),
+    )
+
+
+ORACLE_CSS_ADVANCED = LAYOUT_CTE + """
+, ks AS (SELECT *, unnest(generate_series(1, n_groups)) AS k FROM layout)
+SELECT url AS page_url, 'nth' AS t, 'Title ' || doc_id || '-2' AS v
+FROM layout WHERE n_groups >= 2
+UNION ALL
+SELECT url, 'pref', 'item-' || doc_id || '-' || k || '.html' FROM ks
+UNION ALL
+SELECT url, 'sib', 'Title ' || doc_id || '-' || k AS v FROM ks WHERE k >= 2
+"""
+
+
+def q_xpath_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 widened XPath subset (parity target ``tree.xpath``,
+    ``lxml_scraper.py:184-185``): sequential predicates with
+    ``position()``/``and``/``not()``/``starts-with``, the ``..`` step, and
+    ``following-sibling::`` with a positional predicate."""
+    app = Scraper()
+
+    @app.select(xpath=".//div[@class='custom-group'][position()>1]//p[starts-with(text(),'Title') and not(contains(text(),'-1'))]")
+    def pos(element):
+        return {"t": "pos", "v": element.text_content()}
+
+    @app.select(xpath=".//p[@class='title']/../following-sibling::p[1]")
+    def desc(element):
+        return {"t": "desc", "v": element.text_content()}
+
+    @app.select(xpath=".//a[starts-with(@href,'page-') and not(@class='self')]")
+    def nxt(element):
+        return {"t": "next", "v": element.text_content()}
+
+    ext = _extract_once(spark, sf_dir, app)
+    return ext.filter(F.col("kind") == "data").select(
+        "page_url",
+        F.col("data").getItem("t").alias("t"),
+        F.col("data").getItem("v").alias("v"),
+    )
+
+
+ORACLE_XPATH_ADVANCED = LAYOUT_CTE + """
+, ks AS (SELECT *, unnest(generate_series(1, n_groups)) AS k FROM layout)
+SELECT url AS page_url, 'pos' AS t, 'Title ' || doc_id || '-' || k AS v
+FROM ks WHERE k >= 2
+UNION ALL
+SELECT url, 'desc', 'Description ' || doc_id || '-' || k
+FROM ks WHERE k IN (1, 3)
+UNION ALL
+SELECT url, 'next', 'Next ' || c
+FROM (SELECT *, unnest(generate_series(1, 2)) AS c FROM layout)
+WHERE 2 * local + c < n_local
+"""
+
+
 # ---------------------------------------------------------------------------
 # A2. §2 operator coverage: generator fan-out, navigate/pages loop,
 # start_requests, follow_url, sinks, output order, adblock, setup rules
@@ -1304,6 +1382,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_extract": q_pivot_extract,
         "frontier_dedupe": q_frontier_dedupe,
         # §2 operator coverage
+        "css_advanced": q_css_advanced,
+        "xpath_advanced": q_xpath_advanced,
         "generator_fanout": q_generator_fanout,
         "pages_navigate": q_pages_navigate,
         "start_requests": q_start_requests,
@@ -1346,6 +1426,8 @@ def oracle_sql() -> Dict[str, str]:
         "flatten_merge": ORACLE_FLATTEN_MERGE,
         "pivot_extract": ORACLE_PIVOT_EXTRACT,
         "frontier_dedupe": ORACLE_FRONTIER_DEDUPE,
+        "css_advanced": ORACLE_CSS_ADVANCED,
+        "xpath_advanced": ORACLE_XPATH_ADVANCED,
         "generator_fanout": ORACLE_GENERATOR_FANOUT,
         "pages_navigate": ORACLE_PAGES_NAVIGATE,
         "start_requests": ORACLE_START_REQUESTS,

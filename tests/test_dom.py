@@ -75,9 +75,84 @@ def test_regex_selector_case_insensitive(dude_html):
 def test_unsupported_selectors_raise():
     root = parse_html("<div></div>")
     with pytest.raises(ValueError):
-        css_select(root, "div:nth-child(2)")
+        css_select(root, "div:hover")
     with pytest.raises(ValueError):
-        xpath_select(root, "following-sibling::div")
+        xpath_select(root, "following-sibling::div")  # no leading / or //
+    root2 = parse_html("<section><div><p>x</p></div></section>")
+    with pytest.raises(ValueError):
+        xpath_select(root2, ".//div[count(p) > 1]")
+
+
+def test_css_attribute_operators():
+    root = parse_html(
+        '<ul><li class="item first" data-x="alpha-1">one</li>'
+        '<li class="item" data-x="beta-2">two</li>'
+        '<li lang="en-US">three</li></ul>'
+    )
+    t = lambda els: [e.text_content() for e in els]
+    assert t(css_select(root, '[data-x^="alpha"]')) == ["one"]
+    assert t(css_select(root, '[data-x$="2"]')) == ["two"]
+    assert t(css_select(root, '[data-x*="eta"]')) == ["two"]
+    assert t(css_select(root, '[class~="first"]')) == ["one"]
+    assert t(css_select(root, '[lang|="en"]')) == ["three"]
+    assert css_select(root, '[data-x^=""]') == []  # empty ^= matches nothing
+
+
+def test_css_structural_pseudo_classes():
+    root = parse_html(
+        "<ul><li>one</li><li>two</li><li>three</li><li>four</li></ul>"
+        "<div><p>a</p><span>s</span><p>b</p></div>"
+    )
+    t = lambda els: [e.text_content() for e in els]
+    assert t(css_select(root, "li:first-child")) == ["one"]
+    assert t(css_select(root, "li:last-child")) == ["four"]
+    assert t(css_select(root, "li:nth-child(3)")) == ["three"]
+    assert t(css_select(root, "li:nth-child(odd)")) == ["one", "three"]
+    assert t(css_select(root, "li:nth-child(2n)")) == ["two", "four"]
+    assert t(css_select(root, "li:nth-child(-n+2)")) == ["one", "two"]
+    assert t(css_select(root, "p:nth-of-type(2)")) == ["b"]
+    assert t(css_select(root, "p:last-of-type")) == ["b"]
+    assert t(css_select(root, "span:only-child")) == []
+    assert t(css_select(root, "li:not(:first-child)")) == ["two", "three", "four"]
+
+
+def test_css_sibling_combinators():
+    root = parse_html(
+        "<div><p>a</p><span>s1</span><p>b</p><span>s2</span><em>e</em></div>"
+    )
+    t = lambda els: [e.text_content() for e in els]
+    assert t(css_select(root, "p + span")) == ["s1", "s2"]
+    assert t(css_select(root, "p ~ em")) == ["e"]
+    assert t(css_select(root, "span + p")) == ["b"]
+    # backtracking across mixed sibling/descendant chains
+    root2 = parse_html(
+        "<div><section><p>no</p></section><em>x</em>"
+        "<section><p>yes</p></section></div>"
+    )
+    assert t(css_select(root2, "em + section p")) == ["yes"]
+
+
+def test_xpath_boolean_predicates_and_axes():
+    root = parse_html(
+        '<ul><li class="a" data-x="alpha">one</li>'
+        '<li class="b">two</li><li class="a">three</li></ul>'
+        "<div><p>a</p><span>s1</span><p>b</p></div>"
+    )
+    t = lambda els: [e.text_content() for e in els]
+    assert t(xpath_select(root, './/li[@class="a" or @class="b"]')) == [
+        "one", "two", "three",
+    ]
+    assert t(
+        xpath_select(root, './/li[@class="a" and starts-with(@data-x,"al")]')
+    ) == ["one"]
+    assert t(xpath_select(root, './/li[not(@data-x)]')) == ["two", "three"]
+    assert t(xpath_select(root, ".//li[position()>1]")) == ["two", "three"]
+    assert t(xpath_select(root, ".//li[last()]")) == ["three"]
+    assert t(xpath_select(root, './/li[text()="two"]')) == ["two"]
+    assert t(xpath_select(root, ".//p/following-sibling::span[1]")) == ["s1"]
+    assert t(xpath_select(root, ".//span/preceding-sibling::p[1]")) == ["a"]
+    assert t(xpath_select(root, ".//span/../p")) == ["a", "b"]
+    assert t(xpath_select(root, './/li[@class!="b"]')) == ["one", "three"]
 
 
 def test_void_and_misnested():
