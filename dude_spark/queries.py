@@ -954,7 +954,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash(k: int = 8, bands: int = 2) -> str:
+def _minhash_ctes(k: int, bands: int, modulus: int) -> str:
+    """Shared DuckDB CTE chain: docs2 (with shifted copies) → sh (distinct
+    word shingles) → sigs (k portable min-hashes) → banded (LSH band keys)."""
     rows = k // bands
     hashes = ", ".join(
         f"list_min(list_transform(sh, s -> {duckdb_hash32('s', salt=str(i))})) AS h{i}"
@@ -966,9 +968,9 @@ def _oracle_minhash(k: int = 8, bands: int = 2) -> str:
         band_keys.append(f"SELECT doc_id, {b} AS band, ({parts}) AS key FROM sigs")
     return (
         "WITH docs2 AS (\n"
-        "  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0\n"
+        f"  SELECT doc_id, text FROM documents WHERE doc_id % {modulus} = 0\n"
         "  UNION ALL\n"
-        "  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 20 = 0\n"
+        f"  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % {modulus} = 0\n"
         "), sh AS (\n"
         "  SELECT doc_id, list_distinct(list_transform(\n"
         "    generate_series(1, greatest(len(t) - 2, 0)),\n"
@@ -976,10 +978,56 @@ def _oracle_minhash(k: int = 8, bands: int = 2) -> str:
         "  FROM (SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t FROM docs2)\n"
         f"), sigs AS (SELECT doc_id, {hashes} FROM sh)\n"
         ", banded AS (" + " UNION ALL ".join(band_keys) + ")\n"
+    )
+
+
+def _oracle_minhash(k: int = 8, bands: int = 2) -> str:
+    return _minhash_ctes(k, bands, modulus=20) + (
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_matched\n"
         "FROM banded a JOIN banded b USING (band, key)\n"
         "WHERE a.doc_id < b.doc_id\n"
         "GROUP BY 1, 2 HAVING count(*) >= 2"
+    )
+
+
+def _oracle_lsh_jaccard(k: int = 8, bands: int = 2, threshold: float = 0.8) -> str:
+    """LSH candidates → exact Jaccard verify, all in one SQL chain."""
+    return _minhash_ctes(k, bands, modulus=5) + f"""
+, cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, key)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), exsh AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS inter
+  FROM cand
+  JOIN exsh a ON a.doc_id = doc_a
+  JOIN exsh b ON b.doc_id = doc_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 6) >= {threshold}
+"""
+
+
+def q_dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chained near-dup pipeline at its 100 TB shape: banded MinHash-LSH
+    proposes candidate pairs, exact n-gram Jaccard verifies ONLY those pairs
+    (shingles exploded for candidate docs alone — no corpus-wide
+    shingle join)."""
+    d = _docs_with_copies(spark, sf_dir, modulus=5)
+    cand = minhash_lsh_pairs(d, k=8, bands=2)
+    verified = ngram_jaccard_pairs(d, threshold=0.8, candidates=cand)
+    return verified.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("inter").cast("long").alias("inter"),
+        "jaccard",
     )
 
 
@@ -1398,6 +1446,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1441,6 +1490,7 @@ def oracle_sql() -> Dict[str, str]:
         "setup_rule": ORACLE_SETUP_RULE,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_lsh": _oracle_minhash(),
+        "dedup_lsh_jaccard": _oracle_lsh_jaccard(),
         "dedup_simhash": _oracle_simhash(),
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "ann_cosine_topk": ORACLE_ANN_COSINE,

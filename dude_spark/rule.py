@@ -19,6 +19,14 @@ __all__ = ["Selector", "RuleSpec", "rule_sorter", "rule_grouper", "rule_filter"]
 _PREFIX = re.compile(r"^(css|xpath|text)=(.*)$", re.DOTALL)
 _REGEX_FORM = re.compile(r"^text=/(.*)/i?$", re.DOTALL)
 
+# Field precedence and typed-string templates. The TEMPLATE OUTPUTS
+# ('css=...', 'xpath=...', 'text=...', 'text=/.../i') are the reference's
+# rule-ordering sort keys (dude/rule.py:21-37, 56-57) and must stay
+# byte-identical to reproduce E6 rule ordering; the code around them is
+# restated field-table style rather than the reference's if-chains.
+_FIELDS = ("selector", "css", "xpath", "text", "regex")
+_TYPED = {"css": "css={}", "xpath": "xpath={}", "text": "text={}", "regex": "text=/{}/i"}
+
 
 @dataclass(frozen=True)
 class Selector:
@@ -42,37 +50,35 @@ class Selector:
             return Selector(**{m.group(1): m.group(2)})
         return Selector(selector=s)
 
+    def _first(self) -> tuple:
+        """(field_name, value) of the first truthy field in precedence
+        order, else (None, None)."""
+        for name in _FIELDS:
+            v = getattr(self, name)
+            if v:
+                return name, v
+        return None, None
+
     def to_str(self, with_type: bool = False) -> str:
+        name, value = self._first()
         if not with_type or self.selector:
-            sel = self.selector or self.css or self.xpath or self.text or self.regex
-            assert sel is not None
-            return sel
-        if self.css:
-            return f"css={self.css}"
-        if self.xpath:
-            return f"xpath={self.xpath}"
-        if self.text:
-            return f"text={self.text}"
-        return f"text=/{self.regex}/i"
+            assert value is not None
+            return value
+        if name in _TYPED:
+            return _TYPED[name].format(value)
+        return _TYPED["regex"].format(self.regex)
 
     def selector_type(self) -> str:
-        if self.selector:
-            return "any"
-        if self.css:
-            return "css"
-        if self.xpath:
-            return "xpath"
-        if self.text:
-            return "text"
-        if self.regex:
-            return "regex"
-        raise ValueError("No selector specified.")
+        name, _ = self._first()
+        if name is None:
+            raise ValueError("No selector specified.")
+        return "any" if name == "selector" else name
 
     def __bool__(self) -> bool:
-        return (self.selector or self.css or self.xpath or self.text or self.regex) is not None
+        return self._first()[1] is not None
 
     def __str__(self) -> str:
-        return self.selector or self.css or self.xpath or self.text or self.regex or ""
+        return self._first()[1] or ""
 
     def __lt__(self, other: "Selector") -> bool:
         return self.to_str(with_type=True) < other.to_str(with_type=True)
@@ -122,10 +128,9 @@ def rule_filter(url: str, setup: bool = False, navigate: bool = False) -> Callab
     """Reference ``rule_filter`` (``rule.py:78-86``): fnmatch glob or callable."""
 
     def wrapper(rule: RuleSpec) -> bool:
-        if callable(rule.url_matcher):
-            matches = rule.url_matcher(url)
-        else:
-            matches = fnmatch.fnmatch(url, rule.url_matcher)
-        return matches and rule.setup is setup and rule.navigate is navigate
+        if rule.setup is not setup or rule.navigate is not navigate:
+            return False
+        m = rule.url_matcher
+        return bool(m(url)) if callable(m) else fnmatch.fnmatch(url, m)
 
     return wrapper

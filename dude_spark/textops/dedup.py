@@ -149,24 +149,60 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     bucket_cols: tuple = ("lang", "source"),
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard over distinct word-shingle sets, within candidate
-    buckets (default: same lang+source) — the verify stage after LSH, or a
-    standalone exact near-dup detector on pre-bucketed corpora.
+    """Exact Jaccard over distinct word-shingle sets — the verify stage
+    after LSH, or a standalone exact near-dup detector on pre-bucketed
+    corpora.
 
-    Pure relational: explode distinct (doc, shingle), equi-join on shingle
-    (+ bucket) → intersection counts; sizes joined back for the union.
+    Two modes:
+
+    - ``candidates`` given (``doc_a``/``doc_b`` columns, e.g. the output of
+      :func:`minhash_lsh_pairs`): shingles are exploded ONLY for docs that
+      appear in a candidate pair and joined pair-wise — work is bounded by
+      the candidate set, never by corpus size. **This is the 100 TB path**:
+      a shingle-equi-join across a whole corpus bucket blows up on any hot
+      shingle, a candidate-bounded join cannot.
+    - no candidates: shingle equi-join within ``bucket_cols`` buckets
+      (same lang+source by default) — safe only on pre-bucketed/small data.
+
+    Pure relational either way; one hash aggregate for the intersection.
     """
-    base = docs.select("doc_id", *bucket_cols, word_shingles(F.col(text_col), shingle_n).alias("sh"))
-    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = base.select("doc_id", *bucket_cols, F.explode("sh").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, on=[*bucket_cols, "s"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    if candidates is not None:
+        cand = candidates.select("doc_a", "doc_b")
+        involved = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        base = docs.join(involved, "doc_id", "left_semi").select(
+            "doc_id", word_shingles(F.col(text_col), shingle_n).alias("sh")
+        )
+        sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+        ex = base.select("doc_id", F.explode("sh").alias("s"))
+        inter = (
+            cand.join(
+                ex.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a"
+            )
+            .join(
+                ex.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"]
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        base = docs.select(
+            "doc_id", *bucket_cols, word_shingles(F.col(text_col), shingle_n).alias("sh")
+        )
+        sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+        ex = base.select("doc_id", *bucket_cols, F.explode("sh").alias("s"))
+        a, b = ex.alias("a"), ex.alias("b")
+        inter = (
+            a.join(b, on=[*bucket_cols, "s"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
