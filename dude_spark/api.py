@@ -165,8 +165,25 @@ class Scraper:
 
         return deco
 
-    def run_event(self, name: str) -> None:
+    def run_event(self, name: str, *args) -> None:
+        """Fire lifecycle hooks (reference ``base.py:408-430, 504-530``).
+
+        The reference's ``pre-setup``/``post-setup`` receive the live page
+        object; the page-table analogue passes the round's pages/extraction
+        DataFrame. Zero-arg hooks keep working: the payload is only handed
+        to callables that accept it.
+        """
+        import inspect
+
         for func in self.events[name]:
+            if args:
+                try:
+                    takes = len(inspect.signature(func).parameters) > 0
+                except (TypeError, ValueError):
+                    takes = False
+                if takes:
+                    func(*args)
+                    continue
             func()
 
     # -- compiler -------------------------------------------------------------

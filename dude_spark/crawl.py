@@ -69,7 +69,19 @@ class CrawlConfig:
     round_seconds: int = 60          # politeness budget window per round
     max_per_host: Optional[int] = None
     dedupe: str = "seen"             # 'seen' | 'none' (reference parity)
-    state_dir: Optional[str] = None  # parquet round checkpoints (resumable)
+    # 'zlib' → the pages table's html column holds per-page zlib-compressed
+    # bytes, decoded inside the extraction kernel (extract.py). The 100 TB
+    # posture: payloads stay small through every scan/join/cache/Arrow hop
+    # (Common-Crawl WARC records are per-page-compressed at rest anyway);
+    # decode cost parallelizes in the Python workers with the parse.
+    page_codec: Optional[str] = None
+    # Durable per-round state commits (parquet dirs ≙ Iceberg snapshots),
+    # resumable via run(resume=True). THIS IS THE DEFAULT AT CLUSTER SCALE:
+    # the no-state_dir mode anchors round state in localCheckpoint (executor-
+    # local, non-reliable storage) — fine on one box, but an executor loss
+    # mid-round kills the job on a real cluster. Benchmarks use the in-memory
+    # mode deliberately to measure the engine, not the commit I/O.
+    state_dir: Optional[str] = None
     ignore_robots_txt: bool = False
     frontier_partitions: Optional[int] = None
     # row-count ceilings below which the driver (which knows the exact sizes
@@ -113,7 +125,8 @@ class CrawlResult:
 def assign_global_seq(
     df: DataFrame, order_cols: Sequence[str], start: int, out_col: str = "seq",
     rows_hint: Optional[int] = None,
-) -> tuple[DataFrame, int]:
+    count_hosts: Optional[Sequence[str]] = None,
+) -> tuple[DataFrame, int, Optional[dict]]:
     """Dense global sequence in ``order_cols`` order, starting at ``start``.
 
     Distributed zip-index: range-repartition on the order key, count rows per
@@ -121,8 +134,14 @@ def assign_global_seq(
     row_number inside mapInPandas. O(n/p) per task — no global single
     partition, unlike ``row_number() over (ORDER BY ...)``.
 
-    Returns ``(numbered_df, total_rows)`` — the total comes free from the
-    sizing pass, so callers never need a separate ``count()``.
+    Returns ``(numbered_df, total_rows, host_counts)`` — the total comes
+    free from the sizing pass, so callers never need a separate ``count()``.
+    When ``count_hosts`` is given (a bounded host list — the crawl passes
+    its delay-carrying hosts), the same sizing job also returns per-host row
+    counts for those hosts, piggybacked on the one aggregation: the sizing
+    groupBy key becomes (partition, host-or-null) so the extra collect is
+    ≤ partitions × (len(count_hosts)+1) rows, and the caller's politeness
+    pre-check needs no separate frontier-scan job next round.
     """
     import pandas as pd
 
@@ -143,12 +162,32 @@ def assign_global_seq(
     # later composed into a bigger plan (e.g. unioned with another DataFrame)
     # TaskContext.partitionId() is re-indexed and would misalign the offsets.
     parted = parted.withColumn("_pid", F.spark_partition_id())
-    parted = parted.localCheckpoint(eager=True)  # pin partitioning for both passes
+    # lazy checkpoint: the sizing collect below is the materializing action —
+    # one job instead of an eager-checkpoint job plus a count job. The
+    # numbering pass then reads the stored blocks with pinned partitioning.
+    parted = parted.localCheckpoint(eager=False)
 
-    sizes = {
-        r["_pid"]: r["n"]
-        for r in parted.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-    }
+    host_counts: Optional[dict] = None
+    if count_hosts:
+        grouped = (
+            parted.groupBy(
+                "_pid",
+                F.when(F.col("host").isin(list(count_hosts)), F.col("host")).alias("_h"),
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        sizes: dict = {}
+        host_counts = {}
+        for r in grouped:
+            sizes[r["_pid"]] = sizes.get(r["_pid"], 0) + r["n"]
+            if r["_h"] is not None:
+                host_counts[r["_h"]] = host_counts.get(r["_h"], 0) + r["n"]
+    else:
+        sizes = {
+            r["_pid"]: r["n"]
+            for r in parted.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        }
     offsets = {}
     acc = start
     for pid in sorted(sizes):
@@ -175,7 +214,7 @@ def assign_global_seq(
             yield pdf
 
     out_schema = f"{schema}, {out_col} bigint"
-    return parted.mapInPandas(number, out_schema), total
+    return parted.mapInPandas(number, out_schema), total, host_counts
 
 
 class CrawlJob:
@@ -308,6 +347,16 @@ class CrawlJob:
                 out = out.withColumn("crawl_delay", F.lit(0))
             return out
 
+        # Driver-tracked per-(delayed-)host pending counts. When known, the
+        # politeness over-budget pre-check costs ZERO jobs: the counts ride
+        # along on the seq-assignment sizing aggregation each round (see
+        # assign_global_seq count_hosts). None = unknown → fall back to one
+        # counting job. Counts are pre-gate upper bounds where cheaper to
+        # compute (seeds) — an over-estimate only ever ranks a host that
+        # didn't need it (correct, marginally slower), never skips one.
+        pending_by_host: Optional[dict] = None
+        delayed_set = set(delayed_hosts)
+
         start_round = 0
         if resume and (r := self.last_committed_round()) >= 0:
             frontier = spark.read.parquet(self._round_dir("frontier", r))
@@ -328,12 +377,20 @@ class CrawlJob:
             ).select(*CRAWL_COLS)
             frontier = self._persist(frontier, "frontier", -1)
             seen = frontier.select("url", "url_hash")
+            if delayed_set:
+                # seed host counts are known driver-side (pre-gate upper bound)
+                pending_by_host = {}
+                for u in seed_urls + [r.url for r in (self.scraper.requests or [])]:
+                    h = _host_of(u)
+                    if h in delayed_set:
+                        pending_by_host[h] = pending_by_host.get(h, 0) + 1
 
         extract_it = make_extract_iterator(
             self.plan,
             follow_urls=cfg.follow_urls,
             link_mode=cfg.link_mode,
             passthrough=["depth", "seq"],
+            codec=cfg.page_codec,
         )
         result_schema = EXTRACT_SCHEMA + ", depth int, seq bigint"
 
@@ -375,6 +432,7 @@ class CrawlJob:
             _since = [t0]
             if n_pending == 0:
                 break
+            _t('round_start', _since)
 
             # Politeness: rows were gated at append time and carry
             # crawl_delay, so when no allowed host has a delay and no hot-
@@ -383,23 +441,23 @@ class CrawlJob:
             # rows pay the window shuffle (fast_budget_rank).
             over_budget = delayed_hosts
             if cfg.max_per_host is None and delayed_hosts:
-                # One tiny aggregation decides whether the politeness window
-                # is needed AT ALL this round: only a delay-carrying host
-                # whose pending count exceeds its budget forces ranking, and
-                # the driver can check that exactly (a groupBy over only the
-                # delayed hosts' rows, collecting |delayed_hosts| counts).
-                # Under-budget rounds then take the zero-job fast path.
-                hot_counts = (
-                    frontier.filter(F.col("host").isin(delayed_hosts))
-                    .groupBy("host")
-                    .count()
-                    .collect()
-                )
+                # Only a delay-carrying host whose pending count exceeds its
+                # budget forces the ranking window. The per-host counts are
+                # normally already known driver-side (piggybacked on last
+                # round's sizing aggregation — zero extra jobs); only after a
+                # resume or a ranked round do they need one counting job.
+                if pending_by_host is None:
+                    pending_by_host = {
+                        r["host"]: r["count"]
+                        for r in frontier.filter(F.col("host").isin(delayed_hosts))
+                        .groupBy("host")
+                        .count()
+                        .collect()
+                    }
                 over_budget = sorted(
-                    r["host"]
-                    for r in hot_counts
-                    if r["count"]
-                    > max(1, cfg.round_seconds // delay_by_host[r["host"]])
+                    h
+                    for h, n in pending_by_host.items()
+                    if n > max(1, cfg.round_seconds // delay_by_host[h])
                 )
             if cfg.max_per_host is None and not over_budget:
                 fetch_set = frontier
@@ -443,7 +501,10 @@ class CrawlJob:
             if est_parts < par:
                 fetched = fetched.repartition(est_parts)
 
-            self.scraper.run_event("pre-setup")
+            # pre/post-setup receive the round's DataFrame (page-table
+            # analogue of the reference's live-page argument, base.py:504-530)
+            _t('fetch_plan', _since)
+            self.scraper.run_event("pre-setup", fetched)
             extracted = fetched.select("url", "html", "depth", "seq").mapInPandas(
                 extract_it, schema=result_schema
             )
@@ -453,7 +514,7 @@ class CrawlJob:
             # checkpointed partitions
             extracted = self._persist(extracted, "extracted", rnd, eager=False)
             _t('extract_ckpt', _since)
-            self.scraper.run_event("post-setup")
+            self.scraper.run_event("post-setup", extracted)
 
             extractions = [extracted]
             # S6 navigate loop: re-extract up to cfg.pages times following the
@@ -524,11 +585,19 @@ class CrawlJob:
             # checkpoint (extraction + link pipeline + dedupe, one job)
             # and the shuffle pass reuses it
             cands = cands.localCheckpoint(eager=False)
-            new_frontier, n_new = assign_global_seq(
+            new_frontier, n_new, new_host_counts = assign_global_seq(
                 cands, ["parent_seq", "link_seq"], start=max_seq + 1,
                 rows_hint=n_fetched * 4,
+                count_hosts=delayed_hosts if cfg.max_per_host is None else None,
             )
             _t('assign_seq', _since)
+            # next round's politeness pre-check: the new frontier is exactly
+            # these candidates (+ deferred rows, whose per-host counts we do
+            # not track — unknown after a ranked round)
+            if deferred is None and new_host_counts is not None:
+                pending_by_host = new_host_counts
+            else:
+                pending_by_host = None
             # the sizing job above ran the anti-join → the CURRENT seen
             # checkpoint (last handle) is now materialized; every older
             # seen checkpoint's blocks are dead — free them
@@ -559,7 +628,12 @@ class CrawlJob:
                 frontier = deferred
             else:
                 frontier = deferred.unionByName(new_frontier)
-            frontier = self._persist(frontier, "frontier", rnd)
+            # lazy: in memory mode the next round's first job (the sizing/
+            # sampling pass, whose fetch join reads this frontier)
+            # materializes the checkpoint — no dedicated per-round barrier.
+            # state_dir mode stays an eager parquet commit (durability is
+            # the point there).
+            frontier = self._persist(frontier, "frontier", rnd, eager=False)
             _t('frontier_ckpt', _since)
             if cfg.follow_urls and cfg.dedupe == "seen" and n_new:
                 # Fold this round's delta (persisted frontier rows with
@@ -579,6 +653,7 @@ class CrawlJob:
                 if h is not None:
                     seen_ckpt_rdds.append(h)
             n_pending = n_deferred + n_new
+            _t('seen_fold', _since)
 
             metrics.append(
                 RoundMetrics(

@@ -192,40 +192,58 @@ def fast_budget_rank(
     return ranked_hot.unionByName(passed_cold)
 
 
+def _abp_to_regex(rule: str) -> str:
+    """One ABP filter (sans ``@@`` prefix) → Java-compatible regex.
+
+    Supported ABP grammar subset: ``||`` host anchor (subdomains included),
+    ``|`` start/end anchors, ``*`` wildcard, ``^`` separator placeholder
+    (any non-URL char or end), ``/re/`` raw regex; everything else literal
+    substring. (The reference delegates to ``braveblock`` with full Brave
+    lists plus source-url/request-type context — ``optional/utils.py:31-46``;
+    this engine filters frontier URLs, i.e. request_type=document.)
+    """
+    import re as _re
+
+    if len(rule) > 1 and rule.startswith("/") and rule.endswith("/"):
+        return rule[1:-1]
+    prefix = suffix = ""
+    if rule.startswith("||"):
+        prefix = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*\.)?"
+        rule = rule[2:]
+    elif rule.startswith("|"):
+        prefix = "^"
+        rule = rule[1:]
+    if rule.endswith("|"):
+        suffix = "$"
+        rule = rule[:-1]
+    esc = _re.escape(rule)
+    esc = esc.replace(r"\*", ".*").replace(r"\^", r"([^\w\-.%]|$)")
+    return prefix + esc + suffix
+
+
 def adblock_filter(frontier: DataFrame, rules: list[str]) -> DataFrame:
     """P4: drop URLs matching a blocklist (reference wraps ``braveblock``
     with Brave/ABP lists — ``optional/utils.py:31-46``, blocked-url test
     ``tests/test_bs4.py:340-371``).
 
-    Supported rule subset (covers the reference's test usage, which blocks
-    an explicit URL): ``||domain^`` anchors a host (and subdomains); strings
-    starting ``/`` and ending ``/`` are regexes; anything else is a
-    substring match. Compiled once to a single JVM-side regex alternation —
-    no Python in the per-URL path.
+    ABP subset per :func:`_abp_to_regex`, plus ``@@rule`` exceptions (a URL
+    matching any exception survives even when a block rule matches).
+    Compiled ONCE to two JVM-side regex alternations — no Python and no
+    joins in the per-URL path, so the gate rides along inside the append-
+    time projection at any scale.
     """
-    import re as _re
-
     if not rules:
         return frontier
-    host_rules, parts = [], []
-    for r in rules:
-        if r.startswith("||"):
-            dom = r[2:].rstrip("^")
-            host_rules.append(dom)
-        elif len(r) > 1 and r.startswith("/") and r.endswith("/"):
-            parts.append(r[1:-1])
-        else:
-            parts.append(_re.escape(r))
+    blocks = [_abp_to_regex(r) for r in rules if not r.startswith("@@")]
+    excepts = [_abp_to_regex(r[2:]) for r in rules if r.startswith("@@")]
     out = frontier
-    if parts:
-        out = out.filter(~F.col("url").rlike("|".join(parts)))
-    if host_rules:
-        dom_re = "|".join(_re.escape(d) for d in host_rules)
-        out = out.filter(
-            ~F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit("")).rlike(
-                rf"(^|\.)({dom_re})$"
+    if blocks:
+        blocked = F.col("url").rlike("|".join(f"({b})" for b in blocks))
+        if excepts:
+            blocked = blocked & ~F.col("url").rlike(
+                "|".join(f"({e})" for e in excepts)
             )
-        )
+        out = out.filter(~blocked)
     return out
 
 

@@ -150,6 +150,39 @@ SELECT url AS page_url, text AS content FROM layout
 """
 
 
+def q_content_identity_zlib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte identity THROUGH the compressed-payload path: pages zlib-
+    compressed per page (the WARC/100 TB posture, CrawlConfig.page_codec),
+    decoded inside the extraction kernel — extracted text must still equal
+    documents.text byte-for-byte."""
+    from .extract import EXTRACT_SCHEMA
+
+    app = Scraper()
+
+    @app.select(css="p.content")
+    def content(element):
+        return {"content": element.text_content()}
+
+    def _compress(batches):
+        import zlib
+
+        for pdf in batches:
+            pdf["html"] = [zlib.compress(bytes(h), 1) for h in pdf["html"]]
+            yield pdf
+
+    zpages = (
+        pages_df(spark, sf_dir)
+        .select("url", "html")
+        .mapInPandas(_compress, "url string, html binary")
+    )
+    it = make_extract_iterator(app.compile(), codec="zlib")
+    ext = zpages.mapInPandas(it, EXTRACT_SCHEMA)
+    return ext.filter(F.col("kind") == "data").select(
+        "page_url",
+        F.col("data").getItem("content").alias("content"),
+    )
+
+
 def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = _extract_once(spark, sf_dir, _extraction_scraper(), follow=True)
     return (
@@ -864,21 +897,29 @@ FROM r
 
 def q_adblock_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 adblock URL filter (``optional/utils.py:31-46``): ``||domain^``
-    host anchor (incl. subdomains), ``/regex/`` rules, substring rules —
-    compiled to JVM-side regex filters."""
+    host anchor (incl. subdomains), ``/regex/`` rules, substring rules, and
+    an ``@@`` exception — compiled to JVM-side regex filters."""
     from .politeness import adblock_filter
 
     pages = pages_df(spark, sf_dir)
     frontier = pages.select("url")
-    rules = ["||host-3.test^", "page-1.html", r"/page-2[0-9]\.html$/"]
+    rules = [
+        "||host-3.test^",
+        "page-1.html",
+        r"/page-2[0-9]\.html$/",
+        r"@@/host-3\.test/page-0/",  # exception: host-3's root page survives
+    ]
     return adblock_filter(frontier, rules).select("url")
 
 
 ORACLE_ADBLOCK = LAYOUT_CTE + """
 SELECT url FROM layout
-WHERE host_id != 3
-  AND NOT regexp_matches(url, 'page\\-1\\.html')
-  AND NOT regexp_matches(url, 'page-2[0-9]\\.html$')
+WHERE NOT (
+  (host_id = 3
+   OR regexp_matches(url, 'page\\-1\\.html')
+   OR regexp_matches(url, 'page-2[0-9]\\.html$'))
+  AND NOT regexp_matches(url, 'host-3\\.test/page-0')
+)
 """
 
 
@@ -1342,6 +1383,26 @@ def _oracle_multimodal(feat_dim: int = 4) -> str:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan: one row per (video, frame_ts) —
+    exploded JVM-side from duration metadata so the decoder UDF only ever
+    touches the frames it must."""
+    from .textops.multimodal import frame_sample_plan
+
+    media = synth_media(_docs(spark, sf_dir).filter(F.col("doc_id") < 1000))
+    return frame_sample_plan(media).select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT doc_id AS media_id,
+       unnest(generate_series(0, (doc_id % 9000) + 999, 1000)) AS frame_ts_ms
+FROM documents WHERE doc_id < 1000 AND doc_id % 3 = 2
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1419,6 +1480,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl/extract engine
         "extract_flat": q_extract_flat,
         "content_identity": q_content_identity,
+        "content_identity_zlib": q_content_identity_zlib,
         "link_graph": q_link_graph,
         "crawl_bfs": q_crawl_bfs,
         "politeness_budget": q_politeness_budget,
@@ -1457,6 +1519,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "lang_id_ngram": q_lang_id,
         "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
         "ann_lsh_topk": q_ann_lsh,
     }
 
@@ -1465,6 +1528,7 @@ def oracle_sql() -> Dict[str, str]:
     return {
         "extract_flat": ORACLE_EXTRACT_FLAT,
         "content_identity": ORACLE_CONTENT_IDENTITY,
+        "content_identity_zlib": ORACLE_CONTENT_IDENTITY,
         "link_graph": ORACLE_LINK_GRAPH,
         "crawl_bfs": ORACLE_CRAWL_BFS,
         "politeness_budget": ORACLE_POLITENESS,
@@ -1501,5 +1565,6 @@ def oracle_sql() -> Dict[str, str]:
         "sessionize": ORACLE_SESSIONIZE,
         "lang_id_ngram": ORACLE_LANG_ID,
         "multimodal_decode": _oracle_multimodal(),
+        "frame_sample": ORACLE_FRAME_SAMPLE,
         "ann_lsh_topk": _oracle_ann_lsh(),
     }

@@ -56,6 +56,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
+    env_conf = os.environ.get("SPARK_GRAFT_CONF_JSON")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            b = b.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -126,7 +126,7 @@ def test_flatten_spark_matches_reference_shape(spark, crawl_result):
 
 def test_assign_global_seq_dense_and_ordered(spark):
     df = spark.range(1000).selectExpr("id AS a", "(999 - id) AS b")
-    out, total = assign_global_seq(df, ["b"], start=100)
+    out, total, _ = assign_global_seq(df, ["b"], start=100)
     assert total == 1000
     rows = out.orderBy("seq").collect()
     assert [r["seq"] for r in rows[:3]] == [100, 101, 102]

@@ -113,6 +113,59 @@ def test_adblock_filter(spark):
     assert urls == {"https://ok.test/page.html"}
 
 
+def test_adblock_abp_grammar(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://x.test/ads/banner_300x250.png",),   # wildcard rule
+            ("https://x.test/track?id=1",),               # separator rule
+            ("https://x.test/trackers.html",),            # '^' must NOT match mid-word
+            ("http://start.test/a",),                     # start anchor
+            ("https://notstart.test/start.test/a",),      # start anchor must not match
+            ("https://x.test/allowed/ads/banner_1x1.png",),  # @@ exception
+            ("https://x.test/clean.html",),
+        ],
+        "url string",
+    )
+    rules = [
+        "/ads/banner_*.png",
+        "/track^",
+        "|http://start.test",
+        "@@*allowed*",
+    ]
+    out = {r["url"] for r in adblock_filter(df, rules).collect()}
+    assert out == {
+        "https://x.test/trackers.html",
+        "https://notstart.test/start.test/a",
+        "https://x.test/allowed/ads/banner_1x1.png",
+        "https://x.test/clean.html",
+    }
+
+
+def test_event_hooks_receive_round_dataframe(spark):
+    app = Scraper()
+    seen_counts = []
+
+    @app.select(css=".title", group_css=".custom-group")
+    def t(element):
+        return {"t": element.text_content()}
+
+    @app.pre_setup()
+    def on_pre(df):  # page-table analogue of the live-page arg (base.py:504-530)
+        seen_counts.append(df.count())
+
+    @app.shutdown()
+    def on_done():  # zero-arg hooks still work
+        seen_counts.append("done")
+
+    pages = pages_df(spark, SF).select("url", "html")
+    job = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(follow_urls=False, max_rounds=1, round_seconds=3600),
+    )
+    job.run(seeds()[:3])
+    assert seen_counts == [3, "done"]
+
+
 def test_crawl_with_adblock_excludes_items(spark):
     app = Scraper()
 
