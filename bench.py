@@ -463,7 +463,7 @@ evidence rather than the engine-to-control ratio.
   every leg above exceeds it by two orders of magnitude.
 
 Crawl-ordering/byte-identity correctness for the same engine configuration is
-gated separately by CORRECTNESS (41 oracle-checked queries) and the pytest
+gated separately by CORRECTNESS (42 oracle-checked queries) and the pytest
 parity suite (`tests/test_crawl_spark.py`).
 """)
     summary = {

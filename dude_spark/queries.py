@@ -1383,6 +1383,33 @@ def _oracle_multimodal(feat_dim: int = 4) -> str:
     )
 
 
+def q_stream_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming (SURVEY §2.10): watermarked event-time windowed
+    aggregation over the events stream, drained ``availableNow`` — the
+    standard streaming-analytics op beside the crawl. Result identical to
+    the batch window aggregation (the oracle)."""
+    from .streaming import windowed_event_counts
+
+    df = windowed_event_counts(
+        spark, f"{sf_dir}/events.parquet", sink_table="event_windows_oracle_q"
+    )
+    return df.select(
+        F.col("user_bucket").cast("long").alias("user_bucket"),
+        F.col("window_start").cast("long").alias("window_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
+    )
+
+
+ORACLE_STREAM_WINDOWS = """
+SELECT (user_id % 10) AS user_bucket,
+       (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling plan: one row per (video, frame_ts) —
     exploded JVM-side from duration metadata so the decoder UDF only ever
@@ -1519,6 +1546,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "lang_id_ngram": q_lang_id,
         "multimodal_decode": q_multimodal_decode,
+        "stream_event_windows": q_stream_event_windows,
         "frame_sample": q_frame_sample,
         "ann_lsh_topk": q_ann_lsh,
     }
@@ -1565,6 +1593,7 @@ def oracle_sql() -> Dict[str, str]:
         "sessionize": ORACLE_SESSIONIZE,
         "lang_id_ngram": ORACLE_LANG_ID,
         "multimodal_decode": _oracle_multimodal(),
+        "stream_event_windows": ORACLE_STREAM_WINDOWS,
         "frame_sample": ORACLE_FRAME_SAMPLE,
         "ann_lsh_topk": _oracle_ann_lsh(),
     }
