@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--state-dir", default=None, help="checkpoint dir (resumable)")
     s.add_argument("--resume", action="store_true")
     s.add_argument("--master", default=None)
+    s.add_argument("--page-codec", default=None, choices=["zlib"],
+                   help="html column holds per-page-compressed bytes "
+                        "(decoded in the extraction kernel)")
+    s.add_argument("--dedupe", default="seen", choices=["seen", "none"],
+                   help="'none' = strict reference parity (no URL-seen set)")
     return p
 
 
@@ -81,6 +86,8 @@ def main(argv=None) -> int:
         round_seconds=args.round_seconds,
         ignore_robots_txt=args.ignore_robots_txt,
         state_dir=args.state_dir,
+        page_codec=args.page_codec,
+        dedupe=args.dedupe,
     )
     job = CrawlJob(spark, app, pages, robots=robots, config=cfg)
     res = job.run(args.urls, resume=args.resume)
