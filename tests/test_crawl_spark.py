@@ -161,6 +161,25 @@ def test_resume_continues_from_checkpoint(spark, tmp_path):
     assert total_urls == {r["url"] for r in full.trace.select("url").collect()}
 
 
+def test_dedupe_none_matches_seen_on_acyclic_corpus(spark):
+    """Reference-parity mode: with no URL-seen set, the acyclic duplicate-
+    free corpus must still yield the same fetched set/order as dedupe='seen'
+    (SURVEY §7.3 equivalence argument, now executed)."""
+    app = make_scraper()
+    pages = pages_df(spark, SF).select("url", "html")
+    res_none = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(max_rounds=40, round_seconds=3600, dedupe="none"),
+    ).run(seeds()[:4])
+    res_seen = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(max_rounds=40, round_seconds=3600),
+    ).run(seeds()[:4])
+    a = [r["url"] for r in res_none.trace.orderBy("seq").collect()]
+    b = [r["url"] for r in res_seen.trace.orderBy("seq").collect()]
+    assert a == b
+
+
 def test_crawl_seed_with_explicit_port(spark):
     """Allowed-domain set must use parse_url-HOST semantics: a seed with an
     explicit port must not be dropped by its own allowed-domains gate."""
