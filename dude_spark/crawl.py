@@ -69,6 +69,11 @@ class CrawlConfig:
     round_seconds: int = 60          # politeness budget window per round
     max_per_host: Optional[int] = None
     dedupe: str = "seen"             # 'seen' | 'none' (reference parity)
+    # SQL expression assigning each DISCOVERED link's frontier priority
+    # (columns in scope: url, host, url_hash, depth, crawl_delay). Higher
+    # fetches first within a budget-limited round (frontier.py schema note);
+    # None → 0 everywhere = exact reference FIFO.
+    priority_expr: Optional[str] = None
     # 'zlib' → the pages table's html column holds per-page zlib-compressed
     # bytes, decoded inside the extraction kernel (extract.py). The 100 TB
     # posture: payloads stay small through every scan/join/cache/Arrow hop
@@ -360,6 +365,8 @@ class CrawlJob:
         start_round = 0
         if resume and (r := self.last_committed_round()) >= 0:
             frontier = spark.read.parquet(self._round_dir("frontier", r))
+            if "priority" not in frontier.columns:  # pre-priority state dirs
+                frontier = frontier.withColumn("priority", F.lit(0))
             # seen = every URL ever enqueued = union of all committed
             # frontier snapshots, distinct on url_hash
             base = os.path.join(cfg.state_dir, "frontier")
@@ -573,6 +580,12 @@ class CrawlJob:
             )
             links = with_url_meta(links)
             links = gate_append(links)
+            links = links.withColumn(
+                "priority",
+                F.expr(cfg.priority_expr).cast("int")
+                if cfg.priority_expr
+                else F.lit(0),
+            )
             if cfg.dedupe == "seen":
                 cands = dedupe_candidates(
                     links, seen, order_cols=("parent_seq", "link_seq"),

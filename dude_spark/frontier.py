@@ -10,8 +10,15 @@ partition order.
 
 Frontier schema::
 
-    url string, url_hash bigint, host string, depth int, seq bigint,
-    method string, status string, round int
+    url string, url_hash bigint, host string, depth int, priority int,
+    seq bigint, method string, status string, round int
+
+``priority`` (north_rule "priority queue"): higher fetches first WITHIN a
+politeness-budget-limited round — the per-host budget window ranks by
+(priority desc, depth, seq), so the priority queue is realized as the same
+host-bucketed window ranking that enforces crawl delays, not a driver-side
+heap. Default 0 everywhere = exact reference FIFO order; a crawl assigns
+priorities to discovered links via ``CrawlConfig.priority_expr``.
 """
 
 from __future__ import annotations
@@ -20,7 +27,9 @@ from typing import Iterable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-FRONTIER_COLS = ["url", "url_hash", "host", "depth", "seq", "method", "status", "round"]
+FRONTIER_COLS = [
+    "url", "url_hash", "host", "depth", "priority", "seq", "method", "status", "round",
+]
 
 
 def canonicalize(col):
@@ -54,6 +63,7 @@ def seed_frontier(
     return (
         with_url_meta(df)
         .withColumn("depth", F.lit(0))
+        .withColumn("priority", F.lit(0))
         .withColumn("status", F.lit("pending"))
         .withColumn("round", F.lit(0))
         .select(*FRONTIER_COLS)

@@ -161,6 +161,18 @@ def inline_robots_gate(df: DataFrame, robots_rows, url_col: str = "url") -> Data
     return df.filter(can_fetch).withColumn("crawl_delay", delay)
 
 
+def _rank_order(df: DataFrame):
+    """Within-host fetch order for the budget window: priority DESC (the
+    north_rule priority queue — higher priority wins contended budget
+    slots), then FIFO (depth, seq). Frontiers without a priority column
+    (or with the default 0 everywhere) rank in exact reference FIFO order."""
+    cols = []
+    if "priority" in df.columns:
+        cols.append(F.col("priority").desc())
+    cols += [F.col("depth"), F.col("seq")]
+    return cols
+
+
 def fast_budget_rank(
     frontier: DataFrame,
     delayed_hosts: list[str],
@@ -180,7 +192,7 @@ def fast_budget_rank(
     if max_per_host is not None:
         return budget_rank(frontier, round_seconds, max_per_host)
     budget = _budget_expr(round_seconds, None)
-    w = Window.partitionBy("host").orderBy("depth", "seq")
+    w = Window.partitionBy("host").orderBy(*_rank_order(frontier))
     hot = frontier.filter(F.col("host").isin(delayed_hosts))
     cold = frontier.filter(~F.col("host").isin(delayed_hosts))
     ranked_hot = hot.withColumn("host_rank", F.row_number().over(w)).withColumn(
@@ -281,7 +293,7 @@ def budget_rank(
     output, used by the oracle-checked politeness query).
     """
     budget = _budget_expr(round_seconds, max_per_host)
-    w = Window.partitionBy("host").orderBy("depth", "seq")
+    w = Window.partitionBy("host").orderBy(*_rank_order(frontier))
     if exact_ranks:
         return frontier.withColumn("host_rank", F.row_number().over(w)).withColumn(
             "fetch_now", F.col("host_rank") <= budget

@@ -280,6 +280,43 @@ SELECT url, host_rank, (host_rank <= budget) AS fetch_now FROM ranked
 """
 
 
+def q_priority_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier priority queue (north_rule): within each host's
+    politeness budget, higher-priority rows rank first (window order
+    priority DESC, depth, seq); FIFO order preserved among equal
+    priorities."""
+    pages = pages_df(spark, sf_dir)
+    frontier = pages.select(
+        "url",
+        F.format_string("host-%d.test", "host_id").alias("host"),
+        F.floor(F.log2(F.col("local") + 1)).cast("int").alias("depth"),
+        (F.col("doc_id") % 7).cast("int").alias("priority"),
+        F.col("doc_id").alias("seq"),
+    )
+    gated = robots_gate(frontier, compile_robots(robots_df(spark)))
+    ranked = budget_rank(gated, round_seconds=10, exact_ranks=True)
+    return ranked.select(
+        "url", F.col("host_rank").cast("long").alias("host_rank"), "fetch_now"
+    )
+
+
+ORACLE_PRIORITY_BUDGET = LAYOUT_CTE + """
+, gated AS (
+  SELECT url, host_id, (doc_id % 7) AS prio,
+         CAST(floor(log2(local+1)) AS BIGINT) AS depth, doc_id AS seq,
+         (CASE WHEN host_id % 5 = 4 THEN 0 ELSE host_id % 3 END) AS delay
+  FROM layout
+  WHERE NOT (host_id % 4 = 0 AND host_id % 5 != 4 AND local = 7)
+), ranked AS (
+  SELECT url,
+         row_number() OVER (PARTITION BY host_id ORDER BY prio DESC, depth, seq) AS host_rank,
+         CASE WHEN delay = 0 THEN 2147483648 ELSE greatest(1, 10 // delay) END AS budget
+  FROM gated
+)
+SELECT url, host_rank, (host_rank <= budget) AS fetch_now FROM ranked
+"""
+
+
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compiled robots dim gate (P2): per-host allowed page count."""
     pages = pages_df(spark, sf_dir)
@@ -1511,6 +1548,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "crawl_bfs": q_crawl_bfs,
         "politeness_budget": q_politeness_budget,
+        "priority_budget": q_priority_budget,
         "robots_gate": q_robots_gate,
         "xpath_extract": q_xpath_extract,
         "text_select": q_text_select,
@@ -1560,6 +1598,7 @@ def oracle_sql() -> Dict[str, str]:
         "link_graph": ORACLE_LINK_GRAPH,
         "crawl_bfs": ORACLE_CRAWL_BFS,
         "politeness_budget": ORACLE_POLITENESS,
+        "priority_budget": ORACLE_PRIORITY_BUDGET,
         "robots_gate": ORACLE_ROBOTS_GATE,
         "xpath_extract": ORACLE_XPATH_EXTRACT,
         "text_select": ORACLE_TEXT_SELECT,

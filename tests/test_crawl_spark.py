@@ -180,6 +180,27 @@ def test_dedupe_none_matches_seen_on_acyclic_corpus(spark):
     assert a == b
 
 
+def test_priority_expr_orders_budgeted_fetches(spark):
+    """north_rule priority queue: with max_per_host=1, the high-priority
+    child (page-2) wins the round-1 budget slot over the FIFO-first child
+    (page-1)."""
+    app = make_scraper()
+    pages = pages_df(spark, SF).select("url", "html")
+    job = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(
+            max_rounds=3, round_seconds=3600, max_per_host=1,
+            priority_expr="CASE WHEN url LIKE '%/page-2.html' THEN 5 ELSE 0 END",
+        ),
+    )
+    res = job.run(seeds()[:2])
+    r1 = sorted(r["url"] for r in res.trace.filter("round = 1").collect())
+    assert r1 == [
+        "https://host-0.test/page-2.html",
+        "https://host-1.test/page-2.html",
+    ]
+
+
 def test_crawl_seed_with_explicit_port(spark):
     """Allowed-domain set must use parse_url-HOST semantics: a seed with an
     explicit port must not be dropped by its own allowed-domains gate."""
