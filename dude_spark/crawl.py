@@ -39,8 +39,10 @@ from .extract import EXTRACT_SCHEMA, make_extract_iterator
 from .frontier import (
     FRONTIER_COLS,
     allowed_domains_filter,
+    bloom_words,
     canonicalize,
     dedupe_candidates,
+    merge_bloom_words,
     seed_frontier,
     with_url_meta,
 )
@@ -97,6 +99,14 @@ class CrawlConfig:
     # shuffle joins (at warehouse scale: co-partitioned on url_hash).
     broadcast_fetch_max: int = 500_000
     broadcast_seen_max: int = 2_000_000
+    # Bloom sidecar (north_rule "partitioned Bloom-filter URL-seen set"):
+    # when the seen set is past broadcast_seen_max, maintain a bloom word
+    # table of this many bits (see frontier.bloom_words) incrementally per
+    # round; definitely-new candidates then skip the exact anti-join's
+    # shuffle. None = off (locally the broadcast anti-join wins; at
+    # warehouse scale set ~10 bits per expected URL).
+    bloom_bits: Optional[int] = None
+    bloom_k: int = 4
     # partition count for the compacted seen set. The seen table is
     # re-compacted (repartition on url_hash + checkpoint) every round so the
     # candidate anti-join scans a BOUNDED number of partitions instead of an
@@ -352,6 +362,10 @@ class CrawlJob:
                 out = out.withColumn("crawl_delay", F.lit(0))
             return out
 
+        # Incrementally-maintained bloom sidecar of the seen set (word
+        # table, see frontier.bloom_words); None until cfg.bloom_bits set.
+        seen_bloom: Optional[DataFrame] = None
+
         # Driver-tracked per-(delayed-)host pending counts. When known, the
         # politeness over-budget pre-check costs ZERO jobs: the counts ride
         # along on the seq-assignment sizing aggregation each round (see
@@ -587,9 +601,19 @@ class CrawlJob:
                 else F.lit(0),
             )
             if cfg.dedupe == "seen":
+                use_broadcast = seen_n <= cfg.broadcast_seen_max
+                if cfg.bloom_bits and not use_broadcast and seen_bloom is None:
+                    # first over-threshold round: build the sidecar from the
+                    # full seen set once; deltas fold in per round below
+                    seen_bloom = bloom_words(
+                        seen, m_bits=cfg.bloom_bits, k=cfg.bloom_k
+                    ).localCheckpoint(eager=False)
                 cands = dedupe_candidates(
                     links, seen, order_cols=("parent_seq", "link_seq"),
-                    broadcast_seen=seen_n <= cfg.broadcast_seen_max,
+                    broadcast_seen=use_broadcast,
+                    bloom=seen_bloom if not use_broadcast else None,
+                    bloom_bits=cfg.bloom_bits or (1 << 23),
+                    bloom_k=cfg.bloom_k,
                 )
             else:
                 cands = links
@@ -655,16 +679,22 @@ class CrawlJob:
                 # (materialized by the next round's anti-join). The anti-join
                 # then scans one bounded table, not a union of every prior
                 # round's snapshot (see seen_partitions).
+                delta = frontier.filter(F.col("seq") > prev_max).select("url", "url_hash")
                 seen = (
-                    seen.unionByName(
-                        frontier.filter(F.col("seq") > prev_max).select("url", "url_hash")
-                    )
+                    seen.unionByName(delta)
                     .repartition(cfg.seen_partitions, "url_hash")
                     .localCheckpoint(eager=False)
                 )
                 h = _ckpt_rdd_handle(seen)
                 if h is not None:
                     seen_ckpt_rdds.append(h)
+                if seen_bloom is not None:
+                    # fold the round's delta into the sidecar (word-level
+                    # bit_or; no rescan of the full seen set)
+                    seen_bloom = merge_bloom_words(
+                        seen_bloom,
+                        bloom_words(delta, m_bits=cfg.bloom_bits, k=cfg.bloom_k),
+                    ).localCheckpoint(eager=False)
             n_pending = n_deferred + n_new
             _t('seen_fold', _since)
 

@@ -77,11 +77,89 @@ def allowed_domains_filter(frontier: DataFrame, allowed_hosts: DataFrame) -> Dat
     return frontier.join(F.broadcast(allowed_hosts), on="host", how="left_semi")
 
 
+def _bloom_positions(hash_col, m_bits: int, k: int):
+    """k bloom bit positions for a 64-bit hash column (xxhash64 re-hash per
+    probe index — JVM-side, codegen'd)."""
+    return [
+        F.pmod(F.xxhash64(hash_col, F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def bloom_words(
+    df: DataFrame, hash_col: str = "url_hash", m_bits: int = 1 << 23, k: int = 4
+) -> DataFrame:
+    """Bloom-filter sidecar of a seen set as a TABLE of packed 64-bit words:
+    ``(w bigint, bits bigint)`` — only words with set bits materialize, so
+    the table is ≤ m_bits/64 rows regardless of how many hashes went in.
+
+    This is the north_rule's "partitioned Bloom-filter URL-seen set" in
+    DataFrame form: built with one explode + bit_or aggregation
+    (distributed; no driver collect, no UDF), mergeable across increments
+    by unioning word tables and re-aggregating with bit_or (see
+    :func:`merge_bloom_words`), and broadcastable at any corpus scale
+    (1 MB per 2^23 bits).
+    """
+    pos = _bloom_positions(F.col(hash_col), m_bits, k)
+    return (
+        df.select(F.explode(F.array(*pos)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def merge_bloom_words(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two bloom word tables (bit_or on colliding words) — the
+    incremental-maintenance step: per-round deltas fold into the standing
+    sidecar without rescanning the full seen set."""
+    return a.unionByName(b).groupBy("w").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_prefilter(
+    candidates: DataFrame,
+    words: DataFrame,
+    hash_col: str = "url_hash",
+    m_bits: int = 1 << 23,
+    k: int = 4,
+) -> DataFrame:
+    """Adds ``_maybe_seen`` (boolean): False ⇒ DEFINITELY not in the set the
+    bloom was built from (no false negatives); True ⇒ probably seen — only
+    those rows need the exact anti-join. Candidate positions explode to k
+    rows, join the broadcast word table once, and fold back with a
+    min-aggregation; the exact join's shuffle volume then shrinks to the
+    seen-or-false-positive fraction instead of every candidate.
+    """
+    pos = _bloom_positions(F.col(hash_col), m_bits, k)
+    e = candidates.select(
+        F.col(hash_col).alias("_h"), F.explode(F.array(*pos)).alias("pos")
+    ).select(
+        "_h",
+        (F.col("pos") / 64).cast("long").alias("w"),
+        F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("m"),
+    )
+    j = e.join(F.broadcast(words), on="w", how="left")
+    hit = (
+        F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("m")) != 0)
+    ).cast("int")
+    flags = (
+        j.groupBy("_h")
+        .agg((F.min(hit) == 1).alias("_maybe_seen"))
+        .withColumnRenamed("_h", hash_col)
+    )
+    return candidates.join(flags, on=hash_col, how="left")
+
+
 def dedupe_candidates(
     candidates: DataFrame,
     seen: Optional[DataFrame],
     order_cols: Sequence[str] = ("depth", "seq"),
     broadcast_seen: bool = False,
+    bloom: Optional[DataFrame] = None,
+    bloom_bits: int = 1 << 23,
+    bloom_k: int = 4,
 ) -> DataFrame:
     """L5: anti-join candidates against the seen set on ``url_hash``.
 
@@ -89,11 +167,14 @@ def dedupe_candidates(
     (first discovery wins — FIFO semantics). The crawl driver tracks the
     seen-set size exactly (it assigns every seq), so it sets
     ``broadcast_seen`` deterministically while the set is small — a
-    broadcast-hash anti-join that never shuffles the candidate side. At
-    cluster scale both sides are hash-partitioned on ``url_hash`` so the
-    anti-join is a co-located shuffle; a Bloom sidecar pre-filter is a
-    planned optimization (SURVEY §4.3) — the exact anti-join remains the
-    authority either way.
+    broadcast-hash anti-join that never shuffles the candidate side.
+
+    At cluster scale (seen too big to broadcast) pass ``bloom`` — the
+    :func:`bloom_words` sidecar of ``seen``: definitely-new candidates
+    (most of them, on a growing crawl) skip the exact anti-join entirely
+    and only probable-seen rows shuffle to the hash-partitioned seen table.
+    The exact anti-join remains the authority — bloom false positives are
+    re-checked, false negatives are impossible.
     """
     w = Window.partitionBy("url_hash").orderBy(*order_cols)
     first = (
@@ -105,5 +186,12 @@ def dedupe_candidates(
         return first
     seen_keys = seen.select("url_hash")
     if broadcast_seen:
-        seen_keys = F.broadcast(seen_keys)
+        return first.join(F.broadcast(seen_keys), on="url_hash", how="left_anti")
+    if bloom is not None:
+        flagged = bloom_prefilter(first, bloom, m_bits=bloom_bits, k=bloom_k)
+        definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+        maybe = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+        return definite_new.unionByName(
+            maybe.join(seen_keys, on="url_hash", how="left_anti")
+        )
     return first.join(seen_keys, on="url_hash", how="left_anti")

@@ -180,6 +180,51 @@ def test_dedupe_none_matches_seen_on_acyclic_corpus(spark):
     assert a == b
 
 
+def test_bloom_sidecar_no_false_negatives_and_filters(spark):
+    from pyspark.sql import functions as F
+
+    from dude_spark.frontier import bloom_prefilter, bloom_words, merge_bloom_words
+
+    m, k = 1 << 20, 4
+    seen = spark.range(10_000).select(F.xxhash64("id").alias("url_hash"))
+    novel = spark.range(10_000, 30_000).select(F.xxhash64("id").alias("url_hash"))
+    words = bloom_words(seen, m_bits=m, k=k)
+    # word table bounded by m/64 regardless of input size
+    assert words.count() <= m // 64
+    flagged_seen = bloom_prefilter(seen, words, m_bits=m, k=k)
+    # NO false negatives: every seen hash must flag maybe_seen
+    assert flagged_seen.filter("NOT _maybe_seen").count() == 0
+    flagged_novel = bloom_prefilter(novel, words, m_bits=m, k=k)
+    fp = flagged_novel.filter("_maybe_seen").count()
+    # fpr ≈ (1 - e^(-kn/m))^k ≈ 2e-6 at these parameters; allow slack
+    assert fp < 40
+    # incremental merge covers both increments
+    w2 = merge_bloom_words(words, bloom_words(novel, m_bits=m, k=k))
+    assert bloom_prefilter(novel, w2, m_bits=m, k=k).filter("NOT _maybe_seen").count() == 0
+
+
+def test_crawl_with_bloom_sidecar_matches_exact(spark):
+    """Force the bloom path (broadcast_seen_max=0, bloom on) — fetched set
+    and order must equal the broadcast-anti-join crawl exactly (the exact
+    join stays the authority behind the bloom)."""
+    app = make_scraper()
+    pages = pages_df(spark, SF).select("url", "html")
+    res_bloom = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(
+            max_rounds=40, round_seconds=3600,
+            broadcast_seen_max=0, bloom_bits=1 << 20,
+        ),
+    ).run(seeds()[:4])
+    res_exact = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(max_rounds=40, round_seconds=3600),
+    ).run(seeds()[:4])
+    a = [r["url"] for r in res_bloom.trace.orderBy("seq").collect()]
+    b = [r["url"] for r in res_exact.trace.orderBy("seq").collect()]
+    assert a == b
+
+
 def test_priority_expr_orders_budgeted_fetches(spark):
     """north_rule priority queue: with max_per_host=1, the high-priority
     child (page-2) wins the round-1 budget slot over the FIFO-first child
