@@ -91,7 +91,6 @@ def pivot_data(flattened: DataFrame, keys: list[str] | None = None) -> DataFrame
     distributively when not supplied."""
     if keys is None:
         keys = [k for k in csv_header_union(flattened) if not k.startswith("_")]
-    cols = [F.col(k) for k in SORT_KEYS[:2]]  # keep deterministic meta order
     meta = ["_page_number", "_page_url", "_group_id", "_group_index", "_element_index"]
     return flattened.select(
         *meta, *[F.col("data").getItem(k).alias(k) for k in keys]
