@@ -178,7 +178,17 @@ class Scraper:
         for func in self.events[name]:
             if args:
                 try:
-                    takes = len(inspect.signature(func).parameters) > 0
+                    # only positional-capable params count: a bare **kwargs
+                    # hook cannot receive the payload positionally
+                    takes = any(
+                        p.kind
+                        in (
+                            p.POSITIONAL_ONLY,
+                            p.POSITIONAL_OR_KEYWORD,
+                            p.VAR_POSITIONAL,
+                        )
+                        for p in inspect.signature(func).parameters.values()
+                    )
                 except (TypeError, ValueError):
                     takes = False
                 if takes:

@@ -672,7 +672,12 @@ class CrawlJob:
             # the point there).
             frontier = self._persist(frontier, "frontier", rnd, eager=False)
             _t('frontier_ckpt', _since)
-            if cfg.follow_urls and cfg.dedupe == "seen" and n_new:
+            if cfg.dedupe == "seen" and n_new:
+                # NOT gated on cfg.follow_urls: frontier expansion runs in
+                # either mode (handler follow_url() rows reach the frontier
+                # even with follow_urls=False), so the delta must fold into
+                # `seen` whenever dedupe is on — otherwise a follow cycle
+                # among non-seed pages refetches them every round.
                 # Fold this round's delta (persisted frontier rows with
                 # seq > prev_max) into the seen set and COMPACT: repartition
                 # on url_hash to a fixed partition count + lazy checkpoint

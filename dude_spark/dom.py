@@ -792,42 +792,56 @@ def xpath_select(scope: Element, expr: str):
         # explicit axis (following-sibling::p, parent::div, ..) overrides
         # the '/'-vs-'//' axis
         axis, name = step.axis, step.name
-        if "::" in name:
+        explicit_axis = "::" in name
+        if explicit_axis:
             axis, _, name = name.partition("::")
         elif name == "..":
             axis, name = "parent", "*"
         nxt: List[Element] = []
         for n in nodes:
-            if axis == "descendant":
-                cand = n.iterdescendants()
+            # Each entry in `groups` is one evaluation context for positional
+            # predicates. XPath 1.0: abbreviated `//li[2]` expands to
+            # /descendant-or-self::node()/child::li[2] — position is relative
+            # to each PARENT's child list (lxml parity); explicit
+            # `descendant::li[2]` is position in the full descendant list.
+            if axis == "descendant" and not explicit_axis:
+                groups = [
+                    [c for c in ctx.children if isinstance(c, Element)]
+                    for ctx in (n, *n.iterdescendants())
+                ]
+            elif axis == "descendant":
+                groups = [list(n.iterdescendants())]
             elif axis == "child":
-                cand = [c for c in n.children if isinstance(c, Element)]
+                groups = [[c for c in n.children if isinstance(c, Element)]]
             elif axis == "following-sibling":
                 sibs = _elem_siblings(n)
-                cand = sibs[sibs.index(n) + 1 :]
+                groups = [sibs[sibs.index(n) + 1 :]]
             elif axis == "preceding-sibling":
                 # reverse axis: position 1 = nearest preceding (XPath 1.0)
                 sibs = _elem_siblings(n)
-                cand = sibs[: sibs.index(n)][::-1]
+                groups = [sibs[: sibs.index(n)][::-1]]
             elif axis == "parent":
-                cand = [n.parent] if n.parent is not None else []
+                groups = [[n.parent] if n.parent is not None else []]
             elif axis == "self":
-                cand = [n]
+                groups = [[n]]
             else:
                 raise ValueError(f"unsupported XPath axis: {axis!r} in {expr!r}")
-            if name in ("node()", "*"):
-                cur = list(cand)
-            else:
-                cur = [el for el in cand if el.tag == name]
-            # predicates apply SEQUENTIALLY (XPath 1.0): each filters the
-            # node list produced so far; position()/last() are relative to
-            # that list per context node
-            for p in step.preds:
-                tot = len(cur)
-                cur = [
-                    el for i, el in enumerate(cur, 1) if _pred_eval(el, p, i, tot)
-                ]
-            nxt.extend(cur)
+            for cand in groups:
+                if name in ("node()", "*"):
+                    cur = list(cand)
+                else:
+                    cur = [el for el in cand if el.tag == name]
+                # predicates apply SEQUENTIALLY (XPath 1.0): each filters the
+                # node list produced so far; position()/last() are relative to
+                # that list per context
+                for p in step.preds:
+                    tot = len(cur)
+                    cur = [
+                        el
+                        for i, el in enumerate(cur, 1)
+                        if _pred_eval(el, p, i, tot)
+                    ]
+                nxt.extend(cur)
         # dedupe preserving document order (descendant axes can overlap)
         seen = set()
         nodes = []

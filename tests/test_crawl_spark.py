@@ -292,3 +292,41 @@ def test_politeness_defers_but_completes(spark):
     assert {r["url"] for r in res.trace.collect()} == {
         r["url"] for r in full.trace.collect()
     }
+
+
+def test_follow_cycle_dedupes_without_follow_urls(spark):
+    """Regression (r2 advice, crawl.py seen-fold guard): with
+    follow_urls=False, handler follow_url() rows still reach the frontier —
+    so the round delta must fold into ``seen`` whenever dedupe='seen'. A
+    follow cycle among non-seed pages (a→b→c→b) must fetch b and c exactly
+    once, not refetch them every round until max_rounds."""
+    app = Scraper()
+
+    @app.select(css="a.next")
+    def nxt(element):
+        return {"n": element.get("href"), "__follow__": element.get("href")}
+
+    def page(target):
+        return f'<html><body><a class="next" href="{target}">n</a></body></html>'
+
+    pages = spark.createDataFrame(
+        [
+            ("https://cyc.test/a.html", page("b.html")),
+            ("https://cyc.test/b.html", page("c.html")),
+            ("https://cyc.test/c.html", page("b.html")),
+        ],
+        "url string, html string",
+    )
+    job = CrawlJob(
+        spark, app, pages,
+        config=CrawlConfig(follow_urls=False, max_rounds=6, round_seconds=3600),
+    )
+    res = job.run(["https://cyc.test/a.html"])
+    fetched = [r["url"] for r in res.trace.orderBy("seq").collect()]
+    assert fetched == [
+        "https://cyc.test/a.html",
+        "https://cyc.test/b.html",
+        "https://cyc.test/c.html",
+    ]
+    # seen set carries all three (b/c entered via the follow path)
+    assert {r["url"] for r in res.seen.collect()} == set(fetched)

@@ -205,3 +205,19 @@ def test_unquoted_attr_trailing_slash():
     root2 = parse_html('<html><body><span id="s"/><b>t</b></body></html>')
     s = css_select(root2, "#s")[0]
     assert s.children == []
+
+
+def test_xpath_abbreviated_positional_is_per_parent():
+    """lxml/XPath 1.0 parity (r2 advice): `.//li[2]` expands to
+    descendant-or-self::node()/child::li[2] — position is relative to each
+    PARENT's child list, so two <ul>s yield two matches. Explicit
+    `descendant::li[2]` stays position-in-full-descendant-list."""
+    root = parse_html(
+        "<div><ul><li>a1</li><li>a2</li><li>a3</li></ul>"
+        "<ul><li>b1</li><li>b2</li></ul></div>"
+    )
+    t = lambda els: [e.text_content() for e in els]
+    assert t(xpath_select(root, ".//li[2]")) == ["a2", "b2"]
+    assert t(xpath_select(root, ".//li[last()]")) == ["a3", "b2"]
+    assert t(xpath_select(root, ".//li[position()>2]")) == ["a3"]
+    assert t(xpath_select(root, ".//descendant::li[2]")) == ["a2"]

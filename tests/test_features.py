@@ -218,3 +218,27 @@ def test_cli_end_to_end(spark, tmp_path):
         assert data[0]["_page_number"] == 1
     finally:
         api.app = old
+
+
+def test_event_hook_kwargs_only_gets_no_payload(spark):
+    """Regression (r2 advice, api.py run_event): a hook declared as
+    ``def hook(**kwargs)`` has no positional-capable parameter — it must be
+    called bare, not handed the round DataFrame positionally."""
+    app = Scraper()
+    calls = []
+
+    @app.select(css=".title", group_css=".custom-group")
+    def t(element):
+        return {"t": element.text_content()}
+
+    @app.pre_setup()
+    def kw_hook(**kwargs):
+        calls.append(dict(kwargs))
+
+    pages = pages_df(spark, SF).select("url", "html")
+    job = CrawlJob(
+        spark, app, pages, robots=robots_df(spark),
+        config=CrawlConfig(follow_urls=False, max_rounds=1, round_seconds=3600),
+    )
+    job.run(seeds()[:2])
+    assert calls == [{}]
