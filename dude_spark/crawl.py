@@ -117,6 +117,12 @@ class CrawlConfig:
     # the hash-partitioned seen table with Bloom sidecars (SURVEY §4.3);
     # locally a small fixed partition count keeps scheduling overhead flat.
     seen_partitions: int = 8
+    # Fold cadence for the seen set: per-round deltas APPEND (O(delta)
+    # storage, no data motion); every this-many deltas the parts compact
+    # into one url_hash-partitioned base. Amortized O(seen/k) movement per
+    # round instead of a full seen reshuffle every round — at 10^10 URLs
+    # the per-round reshuffle would dominate the whole round.
+    seen_compact_every: int = 8
 
 
 @dataclass
@@ -141,42 +147,71 @@ def assign_global_seq(
     df: DataFrame, order_cols: Sequence[str], start: int, out_col: str = "seq",
     rows_hint: Optional[int] = None,
     count_hosts: Optional[Sequence[str]] = None,
+    key_bounds: Optional[tuple] = None,
 ) -> tuple[DataFrame, int, Optional[dict]]:
     """Dense global sequence in ``order_cols`` order, starting at ``start``.
 
-    Distributed zip-index: range-repartition on the order key, count rows per
-    partition (one cheap pass), broadcast cumulative offsets, then local
+    Distributed zip-index: range-partition on the order key, count rows per
+    range (one cheap pass), broadcast cumulative offsets, then local
     row_number inside mapInPandas. O(n/p) per task — no global single
     partition, unlike ``row_number() over (ORDER BY ...)``.
+
+    Two partitioning strategies:
+
+    - ``key_bounds=(lo, hi)`` (inclusive bounds of ``order_cols[0]``, known
+      driver-side): rows bucket by ``floor((key - lo) * n / width)`` — a
+      DETERMINISTIC contiguous range split with no sampling pass, so the
+      upstream pipeline is planned and evaluated exactly once (the sizing
+      aggregation below is the single materializing job). The crawl loop
+      always knows its parents' seq bounds, so this is its path: one job
+      per round instead of sample-job + sizing-job. Buckets are hash-placed
+      into partitions (a partition may hold several buckets, each bucket
+      whole); the numbering pass re-seeds its offset at bucket boundaries.
+    - otherwise: ``repartitionByRange``, which SAMPLES its input to pick
+      boundaries — the pipeline is evaluated twice, so callers should hand
+      in a plan anchored on checkpointed/cached data.
 
     Returns ``(numbered_df, total_rows, host_counts)`` — the total comes
     free from the sizing pass, so callers never need a separate ``count()``.
     When ``count_hosts`` is given (a bounded host list — the crawl passes
     its delay-carrying hosts), the same sizing job also returns per-host row
     counts for those hosts, piggybacked on the one aggregation: the sizing
-    groupBy key becomes (partition, host-or-null) so the extra collect is
-    ≤ partitions × (len(count_hosts)+1) rows, and the caller's politeness
+    groupBy key becomes (range-id, host-or-null) so the extra collect is
+    ≤ ranges × (len(count_hosts)+1) rows, and the caller's politeness
     pre-check needs no separate frontier-scan job next round.
     """
-    import pandas as pd
-
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     if rows_hint is not None:
         # Task count must track DATA, not cores: every python-stage task pays
         # a serialized handshake through the single pyspark daemon (~20ms),
         # so 32 near-empty numbering tasks cost more than 2 full ones.
         n_part = max(1, min(n_part, rows_hint // 4096 + 1))
-    # NOTE: repartitionByRange samples its input to pick boundaries, so the
-    # upstream pipeline is evaluated twice. Callers should hand in a plan
-    # anchored on checkpointed/cached data (the crawl loop reads from the
-    # round's extraction checkpoint, so the re-evaluated part is narrow).
-    parted = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols]).sortWithinPartitions(
-        *[F.col(c) for c in order_cols]
-    )
-    # The partition id must travel WITH the rows: when the numbered output is
-    # later composed into a bigger plan (e.g. unioned with another DataFrame)
-    # TaskContext.partitionId() is re-indexed and would misalign the offsets.
-    parted = parted.withColumn("_pid", F.spark_partition_id())
+    order_exprs = [F.col(c) for c in order_cols]
+    if key_bounds is not None:
+        lo, hi = int(key_bounds[0]), int(key_bounds[1])
+        width = max(1, hi - lo + 1)
+        key = F.col(order_cols[0]).cast("bigint")
+        bucket = F.least(
+            F.lit(n_part - 1),
+            F.greatest(
+                F.lit(0),
+                ((key - F.lit(lo)) * F.lit(n_part) / F.lit(width)).cast("int"),
+            ),
+        )
+        parted = (
+            df.withColumn("_rid", bucket)
+            .repartition(n_part, "_rid")
+            .sortWithinPartitions("_rid", *order_exprs)
+        )
+    else:
+        parted = df.repartitionByRange(n_part, *order_exprs).sortWithinPartitions(
+            *order_exprs
+        )
+        # The partition id must travel WITH the rows: when the numbered
+        # output is later composed into a bigger plan (e.g. unioned with
+        # another DataFrame) TaskContext.partitionId() is re-indexed and
+        # would misalign the offsets.
+        parted = parted.withColumn("_rid", F.spark_partition_id())
     # lazy checkpoint: the sizing collect below is the materializing action —
     # one job instead of an eager-checkpoint job plus a count job. The
     # numbering pass then reads the stored blocks with pinned partitioning.
@@ -186,7 +221,7 @@ def assign_global_seq(
     if count_hosts:
         grouped = (
             parted.groupBy(
-                "_pid",
+                "_rid",
                 F.when(F.col("host").isin(list(count_hosts)), F.col("host")).alias("_h"),
             )
             .agg(F.count("*").alias("n"))
@@ -195,37 +230,51 @@ def assign_global_seq(
         sizes: dict = {}
         host_counts = {}
         for r in grouped:
-            sizes[r["_pid"]] = sizes.get(r["_pid"], 0) + r["n"]
+            sizes[r["_rid"]] = sizes.get(r["_rid"], 0) + r["n"]
             if r["_h"] is not None:
                 host_counts[r["_h"]] = host_counts.get(r["_h"], 0) + r["n"]
     else:
         sizes = {
-            r["_pid"]: r["n"]
-            for r in parted.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+            r["_rid"]: r["n"]
+            for r in parted.groupBy("_rid").agg(F.count("*").alias("n")).collect()
         }
     offsets = {}
     acc = start
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
+    for rid in sorted(sizes):
+        offsets[rid] = acc
+        acc += sizes[rid]
     total = acc - start
 
     schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in parted.schema.fields
-        if f.name != "_pid"
+        if f.name != "_rid"
     )
 
     def number(batches):
-        off = None
+        import numpy as np
+
+        cur_rid = None
+        off = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if off is None:
-                off = offsets[int(pdf["_pid"].iat[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf[out_col] = range(off, off + len(pdf))
-            off += len(pdf)
+            rids = pdf["_rid"].to_numpy()
+            seqs = np.empty(len(pdf), dtype=np.int64)
+            # range-ids are contiguous runs (rows sorted by _rid first);
+            # re-seed the offset at each run boundary
+            change = np.flatnonzero(rids[1:] != rids[:-1]) + 1
+            bounds = [0, *change.tolist(), len(rids)]
+            for i in range(len(bounds) - 1):
+                b, e = bounds[i], bounds[i + 1]
+                rid = int(rids[b])
+                if rid != cur_rid:
+                    cur_rid = rid
+                    off = offsets[rid]
+                seqs[b:e] = np.arange(off, off + (e - b))
+                off += e - b
+            pdf = pdf.drop(columns=["_rid"])
+            pdf[out_col] = seqs
             yield pdf
 
     out_schema = f"{schema}, {out_col} bigint"
@@ -419,21 +468,32 @@ class CrawlJob:
         trace_parts: List[DataFrame] = []
         metrics: List[RoundMetrics] = []
         first = frontier.agg(
-            F.coalesce(F.max("seq"), F.lit(-1)).alias("m"), F.count("*").alias("n")
+            F.coalesce(F.max("seq"), F.lit(-1)).alias("m"),
+            F.coalesce(F.min("seq"), F.lit(0)).alias("lo"),
+            F.count("*").alias("n"),
         ).collect()[0]
         max_seq, n_pending = int(first["m"]), int(first["n"])
+        # Lower bound of any pending frontier row's seq — with max_seq it
+        # brackets every link's parent_seq, which lets assign_global_seq
+        # range-split deterministically (no sampling job). Conservative is
+        # fine (only bucket balance depends on it): deferred rows keep old
+        # seqs, so the bound only advances on deferral-free rounds.
+        frontier_lo = int(first["lo"])
         seen_n = max_seq + 1  # driver-exact seen-set size (it assigns every seq)
 
         _dbg = bool(os.environ.get("DUDE_SPARK_DEBUG_TIMING"))
 
-        # Handles to the per-round compacted seen-set checkpoints. seen_r is
-        # only an input to round r+1's anti-join; once seen_r+1's checkpoint
-        # has materialized, seen_r's blocks are dead — without an explicit
-        # unpersist the logical-plan chain keeps every round's checkpointed
-        # RDD reachable and block-manager storage grows O(rounds × seen size)
-        # over a long crawl. (state_dir mode has no such chain — each round
-        # re-reads parquet.)
-        seen_ckpt_rdds: List = []
+        # Seen set as LSM-ish parts: one compacted base + per-round delta
+        # checkpoints, re-unioned into the `seen` view each fold. Handles
+        # back the live parts; on compaction the superseded parts' handles
+        # retire and are unpersisted once the next materializing job has
+        # realized the new base — without that, block-manager storage grows
+        # O(rounds × seen size) over a long crawl. (state_dir mode has no
+        # such chain — each round re-reads parquet.)
+        seen_base: DataFrame = seen
+        seen_deltas: List[DataFrame] = []
+        live_handles: List = []
+        retired_handles: List = []
 
         def _ckpt_rdd_handle(df: DataFrame):
             """JVM RDD behind a localCheckpoint'd DataFrame (LogicalRDD)."""
@@ -617,15 +677,18 @@ class CrawlJob:
                 )
             else:
                 cands = links
-            # lazy anchor: repartitionByRange inside assign_global_seq
-            # samples its input; the sampling pass materializes this
-            # checkpoint (extraction + link pipeline + dedupe, one job)
-            # and the shuffle pass reuses it
-            cands = cands.localCheckpoint(eager=False)
+            # key_bounds: every link's parent_seq is a fetch_set seq, which
+            # lies in [frontier_lo, max_seq] — so assign_global_seq range-
+            # splits deterministically with NO sampling pass. Its sizing
+            # aggregation is then the round's ONE materializing job
+            # (extraction + link pipeline + dedupe + shuffle + counts), and
+            # no cands checkpoint is needed: the pipeline is planned and
+            # evaluated exactly once.
             new_frontier, n_new, new_host_counts = assign_global_seq(
                 cands, ["parent_seq", "link_seq"], start=max_seq + 1,
                 rows_hint=n_fetched * 4,
                 count_hosts=delayed_hosts if cfg.max_per_host is None else None,
+                key_bounds=(frontier_lo, max_seq),
             )
             _t('assign_seq', _since)
             # next round's politeness pre-check: the new frontier is exactly
@@ -635,15 +698,15 @@ class CrawlJob:
                 pending_by_host = new_host_counts
             else:
                 pending_by_host = None
-            # the sizing job above ran the anti-join → the CURRENT seen
-            # checkpoint (last handle) is now materialized; every older
-            # seen checkpoint's blocks are dead — free them
-            for h in seen_ckpt_rdds[:-1]:
+            # the sizing job above ran the anti-join → the current seen
+            # parts (and any freshly compacted base) are materialized;
+            # blocks retired by the last compaction are dead — free them
+            for h in retired_handles:
                 try:
                     h.unpersist(False)
                 except Exception:
                     pass
-            del seen_ckpt_rdds[:-1]
+            retired_handles.clear()
             if n_new:
                 new_frontier = (
                     new_frontier.withColumn("method", F.lit("GET"))
@@ -656,6 +719,10 @@ class CrawlJob:
             prev_max = max_seq
             max_seq += n_new
             seen_n += n_new
+            if deferred is None:
+                # no old-seq rows remain pending: next round's frontier is
+                # exactly this round's delta (tightens the range-split bound)
+                frontier_lo = prev_max + 1
 
             if deferred is None and new_frontier is None:
                 frontier = spark.createDataFrame([], frontier.schema)
@@ -679,20 +746,32 @@ class CrawlJob:
                 # `seen` whenever dedupe is on — otherwise a follow cycle
                 # among non-seed pages refetches them every round.
                 # Fold this round's delta (persisted frontier rows with
-                # seq > prev_max) into the seen set and COMPACT: repartition
-                # on url_hash to a fixed partition count + lazy checkpoint
-                # (materialized by the next round's anti-join). The anti-join
-                # then scans one bounded table, not a union of every prior
-                # round's snapshot (see seen_partitions).
-                delta = frontier.filter(F.col("seq") > prev_max).select("url", "url_hash")
-                seen = (
-                    seen.unionByName(delta)
-                    .repartition(cfg.seen_partitions, "url_hash")
+                # seq > prev_max) as an APPEND: only the delta checkpoints
+                # (O(delta) storage, zero data motion); the anti-join reads
+                # base ∪ deltas. Every seen_compact_every folds the parts
+                # compact into one url_hash-partitioned base — amortized
+                # O(seen/k) movement per round, vs the former full seen
+                # reshuffle every round (a scale-killer at 10^10 URLs).
+                delta = (
+                    frontier.filter(F.col("seq") > prev_max)
+                    .select("url", "url_hash")
                     .localCheckpoint(eager=False)
                 )
-                h = _ckpt_rdd_handle(seen)
+                h = _ckpt_rdd_handle(delta)
                 if h is not None:
-                    seen_ckpt_rdds.append(h)
+                    live_handles.append(h)
+                seen_deltas.append(delta)
+                seen = seen_base
+                for d in seen_deltas:
+                    seen = seen.unionByName(d)
+                if len(seen_deltas) >= cfg.seen_compact_every:
+                    seen = seen.repartition(
+                        cfg.seen_partitions, "url_hash"
+                    ).localCheckpoint(eager=False)
+                    nh = _ckpt_rdd_handle(seen)
+                    retired_handles.extend(live_handles)
+                    live_handles = [nh] if nh is not None else []
+                    seen_base, seen_deltas = seen, []
                 if seen_bloom is not None:
                     # fold the round's delta into the sidecar (word-level
                     # bit_or; no rescan of the full seen set)

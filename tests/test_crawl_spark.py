@@ -330,3 +330,42 @@ def test_follow_cycle_dedupes_without_follow_urls(spark):
     ]
     # seen set carries all three (b/c entered via the follow path)
     assert {r["url"] for r in res.seen.collect()} == set(fetched)
+
+
+def test_assign_global_seq_key_bounds_path(spark):
+    """Deterministic range-split path (key_bounds): dense, ordered, no
+    sampling job — must agree exactly with the sampling path's output."""
+    df = spark.range(1000).selectExpr("(id % 100) AS a", "id AS b", "'h' AS host")
+    out, total, hc = assign_global_seq(
+        df, ["a", "b"], start=7, rows_hint=1000, key_bounds=(0, 99),
+        count_hosts=["h"],
+    )
+    assert total == 1000
+    assert hc == {"h": 1000}
+    rows = out.orderBy("seq").collect()
+    assert [r["seq"] for r in rows] == list(range(7, 1007))
+    # seq order == (a, b) lexicographic order
+    assert [(r["a"], r["b"]) for r in rows] == sorted(
+        [(r["a"], r["b"]) for r in rows]
+    )
+
+
+def test_seen_compaction_cadence_invariant(spark):
+    """The LSM-style seen fold (delta append + compact every k) must yield
+    identical crawl order and seen set at any compaction cadence."""
+    pages = pages_df(spark, SF).select("url", "html")
+    outs = []
+    for k in (1, 100):
+        res = CrawlJob(
+            spark, make_scraper(), pages, robots=robots_df(spark),
+            config=CrawlConfig(
+                max_rounds=40, round_seconds=3600, seen_compact_every=k
+            ),
+        ).run(seeds())
+        outs.append(
+            (
+                [r["url"] for r in res.trace.orderBy("seq").collect()],
+                res.seen.count(),
+            )
+        )
+    assert outs[0] == outs[1]
