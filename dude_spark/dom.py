@@ -183,11 +183,16 @@ class Element:
 # may contain '>'.
 _TOKEN = re.compile(
     r"<(?:"
-    r"!--.*?(?:-->|$)"                    # comment
-    r"|!\[CDATA\[.*?(?:\]\]>|$)"          # CDATA (dropped, like a comment)
+    r"!--.*?(?:--\s*>|$)"                 # comment ('-- >' closes: html.parser)
+    r"|!\[CDATA\[.*?(?:\]\s*\]\s*>|$)"    # CDATA (dropped, like a comment)
     r"|![^>]*>"                           # doctype / declaration
     r"|\?[^>]*>"                          # processing instruction
-    r"|/(?P<ctag>[a-zA-Z][^\s>]*)\s*>"    # end tag
+    # end tag: html.parser's endtagfind shape (optional leading space, name
+    # charset [-.a-zA-Z0-9:_]) so '</ a >' closes <a> but '</x y>' does not
+    r"|/\s*(?P<ctag>[a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
+    # any other '</...>' is a bogus comment (HTML5 end-tag-open state;
+    # html.parser emits handle_comment) — consumed through '>' and dropped
+    r"|/[^>]*>"
     r"|(?P<tag>[a-zA-Z][^\s>/]*)"         # start tag name
     r"(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>])*?)"
     r"(?P<selfc>/?)>"
