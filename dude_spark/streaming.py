@@ -127,3 +127,76 @@ def windowed_event_counts(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def _windowed_agg(ev: DataFrame, window: str) -> DataFrame:
+    agg = (
+        ev.groupBy(
+            F.window("ts", window).alias("w"),
+            (F.col("user_id") % 10).alias("user_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_bucket",
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return agg
+
+
+def windowed_event_counts_append(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The PRODUCTION shape of :func:`windowed_event_counts`: ``append``
+    mode into a durable file sink.
+
+    A window row is written exactly once — when the watermark (max event
+    time seen minus ``watermark``) passes the window's end, the window
+    finalizes, its row is appended, and its aggregation state is EVICTED.
+    Rows arriving later than the watermark are dropped and can never
+    resurrect or duplicate a finalized window, so state is O(active
+    windows) and the sink is append-only — the property that makes this
+    run indefinitely at 100 TB where the ``complete``/memory demo would
+    hold every window ever seen on the driver.
+
+    Call repeatedly (``availableNow`` drains) as the events directory
+    grows; the stream checkpoint carries the watermark and window state
+    across calls. Returns the sink as a batch DataFrame (empty schema-less
+    reads return an empty frame).
+
+    Eviction semantics are pinned by tests/test_streaming.py::
+    test_append_mode_watermark_eviction (finalize-once + late-drop).
+    """
+    schema = spark.read.parquet(events_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    q = (
+        _windowed_agg(ev, window)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(out_dir)
+    except Exception:
+        return spark.createDataFrame([], _windowed_agg(
+            spark.read.parquet(events_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp")), window).schema)

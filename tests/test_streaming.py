@@ -6,7 +6,11 @@ from pyspark.sql import functions as F
 from dude_spark.api import Scraper
 from dude_spark.corpus import pages_df, robots_df, seeds
 from dude_spark.crawl import CrawlConfig, CrawlJob
-from dude_spark.streaming import stream_crawl_results, windowed_event_counts
+from dude_spark.streaming import (
+    stream_crawl_results,
+    windowed_event_counts,
+    windowed_event_counts_append,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -36,6 +40,50 @@ def test_stream_crawl_results_exactly_once(spark, tmp_path):
     # draining again ingests NOTHING new (stream checkpoint = exactly-once)
     stream_crawl_results(spark, state, out)
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_append_mode_watermark_eviction(spark, tmp_path):
+    """The production append-mode path (VERDICT r2 #4): a watermark-expired
+    window finalizes into the file sink EXACTLY ONCE, its state is evicted,
+    and rows later than the watermark are dropped — they can neither
+    duplicate nor resurrect the finalized window."""
+    events = str(tmp_path / "events")
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+
+    def emit(rows):
+        spark.createDataFrame(
+            [(int(i), ts, int(u), "t", float(v), "") for i, (ts, u, v) in enumerate(rows)],
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(events)
+
+    def drain():
+        return windowed_event_counts_append(spark, events, out, ckpt)
+
+    # batch 1: window W1 = [10:00, 11:00) — watermark (max-2h = 08:30)
+    # hasn't passed W1's end, so the drain emits NOTHING yet
+    emit([("2026-01-01 10:05:00", 1, 1.0),
+             ("2026-01-01 10:10:00", 1, 2.0),
+             ("2026-01-01 10:30:00", 2, 4.0)])
+    assert drain().count() == 0
+
+    # batch 2: events at 18:xx advance the watermark to 16:30 > 11:00 —
+    # W1 finalizes: appended once, state evicted
+    emit([("2026-01-01 18:05:00", 3, 8.0),
+             ("2026-01-01 18:30:00", 3, 16.0)])
+    after2 = drain().collect()
+    w1 = 1767261600  # epoch of 2026-01-01 10:00:00 UTC
+    assert sorted((r["user_bucket"], r["window_start"], r["n_events"], r["total_value"])
+                  for r in after2) == [(1, w1, 2, 3.0), (2, w1, 1, 4.0)]
+
+    # batch 3: a LATE row inside W1 but older than the watermark — dropped:
+    # no duplicate W1 row, no count change, no resurrected state
+    emit([("2026-01-01 10:20:00", 1, 100.0)])
+    after3 = drain().collect()
+    assert sorted((r["user_bucket"], r["window_start"], r["n_events"], r["total_value"])
+                  for r in after3) == [(1, w1, 2, 3.0), (2, w1, 1, 4.0)]
 
 
 def test_windowed_event_counts_matches_batch(spark):
