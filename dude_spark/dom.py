@@ -395,9 +395,11 @@ class _Compound:
     def _pseudo_match(self, el: Element) -> bool:
         for ps in self.pseudos:
             kind = ps[0]
-            if kind in ("nth", "nth-type"):
+            if kind in ("nth", "nth-type", "nth-last", "nth-last-type"):
                 a, b = ps[1], ps[2]
-                idx, _ = self._sibling_position(el, kind == "nth-type")
+                idx, n = self._sibling_position(el, kind.endswith("type"))
+                if kind.startswith("nth-last"):
+                    idx = n - idx + 1  # :nth-last-*: position from the end
                 if a == 0:
                     if idx != b:
                         return False
@@ -511,6 +513,10 @@ def _parse_compound(s: str) -> _Compound:
                 comp.pseudos.append(("nth", *_parse_nth(arg)))
             elif name == "nth-of-type" and arg is not None:
                 comp.pseudos.append(("nth-type", *_parse_nth(arg)))
+            elif name == "nth-last-child" and arg is not None:
+                comp.pseudos.append(("nth-last", *_parse_nth(arg)))
+            elif name == "nth-last-of-type" and arg is not None:
+                comp.pseudos.append(("nth-last-type", *_parse_nth(arg)))
             elif name == "not" and arg is not None:
                 comp.pseudos.append(("not", _parse_compound(arg.strip())))
             else:
@@ -625,6 +631,8 @@ _XP_PRED = re.compile(
     | re:test\(\s*text\(\)\s*,\s*(?P<q3>["'])(?P<rpat>.*?)(?P=q3)\s*(?:,\s*(?P<q4>["'])(?P<rflags>.*?)(?P=q4)\s*)?\)
     | text\(\)\s*=\s*(?P<q8>["'])(?P<teq>.*?)(?P=q8)
     | @(?P<eattr>[\w-]+)\s*(?P<neq>!)?=\s*(?P<q5>["'])(?P<eval>.*?)(?P=q5)
+    | (?P<nsfn>contains|starts-with)\(\s*normalize-space\(\s*(?P<nsarg1>\.|text\(\)|@[\w-]+)?\s*\)\s*,\s*(?P<q9>["'])(?P<nsv1>.*?)(?P=q9)\s*\)
+    | normalize-space\(\s*(?P<nsarg2>\.|text\(\)|@[\w-]+)?\s*\)\s*(?P<nsneq>!)?=\s*(?P<q10>["'])(?P<nsv2>.*?)(?P=q10)
     | @(?P<xattr>[\w-]+)
     | position\(\)\s*(?P<pcmp><=|>=|<|>|=)\s*(?P<pval>\d+)
     | (?P<last>last\(\))
@@ -759,6 +767,14 @@ def _pred_atom(el: Element, pred: str, position: int, total: int) -> bool:
     if m.group("eattr"):
         eq = el.attrib.get(m.group("eattr")) == m.group("eval")
         return not eq if m.group("neq") else eq
+    if m.group("nsfn"):
+        v = _normalize_space_of(el, m.group("nsarg1"))
+        if m.group("nsfn") == "contains":
+            return m.group("nsv1") in v
+        return v.startswith(m.group("nsv1"))
+    if m.group("nsv2") is not None:
+        eq = _normalize_space_of(el, m.group("nsarg2")) == m.group("nsv2")
+        return not eq if m.group("nsneq") else eq
     if m.group("xattr"):
         return m.group("xattr") in el.attrib
     if m.group("pcmp"):
@@ -774,6 +790,45 @@ def _pred_atom(el: Element, pred: str, position: int, total: int) -> bool:
     return False  # pragma: no cover
 
 
+def _normalize_space_of(el: Element, arg: Optional[str]) -> str:
+    """XPath normalize-space(): strip + collapse runs of whitespace.
+
+    Argument subset: '' / '.' (string value of the context node = full text
+    content), 'text()' (first text node — consistent with the text()
+    atoms above), '@attr'.
+    """
+    if arg in (None, "", "."):
+        s = el.text_content()
+    elif arg == "text()":
+        s = el.first_text()
+    else:  # '@attr'
+        s = el.attrib.get(arg[1:]) or ""
+    return " ".join(s.split())
+
+
+def _split_union(s: str) -> List[str]:
+    """Split on top-level '|' (outside quotes/parens/brackets)."""
+    out: List[str] = []
+    depth = 0
+    q: Optional[str] = None
+    last = 0
+    for i, c in enumerate(s):
+        if q:
+            if c == q:
+                q = None
+        elif c in "\"'":
+            q = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "|" and depth == 0:
+            out.append(s[last:i])
+            last = i + 1
+    out.append(s[last:])
+    return out
+
+
 def _elem_siblings(el: Element) -> List[Element]:
     if el.parent is None:
         return [el]
@@ -783,6 +838,26 @@ def _elem_siblings(el: Element) -> List[Element]:
 def xpath_select(scope: Element, expr: str):
     """Evaluate the XPath subset; returns elements, attribute strings, or
     text strings depending on the final step."""
+    union = _split_union(expr)
+    if len(union) > 1:
+        results = [xpath_select(scope, part) for part in union]
+        if all(isinstance(x, Element) for r in results for x in r):
+            # node-set union: document order, deduped (XPath 1.0 '|')
+            seen: set = set()
+            merged: List[Element] = []
+            for el in sorted(
+                (e for r in results for e in r), key=lambda e: e.order
+            ):
+                if id(el) not in seen:
+                    seen.add(id(el))
+                    merged.append(el)
+            return merged
+        # strings (attribute/text results) lose node identity in this
+        # engine: concatenate in branch order (documented subset)
+        flat: List = []
+        for r in results:
+            flat.extend(r)
+        return flat
     steps = _parse_xpath(expr)
     nodes: List[Element] = [scope]
     for step in steps:
@@ -825,6 +900,15 @@ def xpath_select(scope: Element, expr: str):
                 # reverse axis: position 1 = nearest preceding (XPath 1.0)
                 sibs = _elem_siblings(n)
                 groups = [sibs[: sibs.index(n)][::-1]]
+            elif axis in ("ancestor", "ancestor-or-self"):
+                # reverse axis: position 1 = self (or-self) / nearest
+                # ancestor; #document excluded (lxml returns elements only)
+                cand = [n] if axis == "ancestor-or-self" else []
+                p = n.parent
+                while p is not None and p.tag != "#document":
+                    cand.append(p)
+                    p = p.parent
+                groups = [cand]
             elif axis == "parent":
                 groups = [[n.parent] if n.parent is not None else []]
             elif axis == "self":

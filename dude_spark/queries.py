@@ -533,6 +533,12 @@ def q_css_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sib(element):
         return {"t": "sib", "v": element.text_content()}
 
+    # :nth-last-child — body children end [..., next1?, next2?, self]: the
+    # 2nd-from-last element child is a link div iff the page has children
+    @app.select(css="body > div:nth-last-child(2) > a.next")
+    def nlast(element):
+        return {"t": "nlast", "v": element.text_content()}
+
     ext = _extract_once(spark, sf_dir, app)
     return ext.filter(F.col("kind") == "data").select(
         "page_url",
@@ -549,6 +555,10 @@ UNION ALL
 SELECT url, 'pref', 'item-' || doc_id || '-' || k || '.html' FROM ks
 UNION ALL
 SELECT url, 'sib', 'Title ' || doc_id || '-' || k AS v FROM ks WHERE k >= 2
+UNION ALL
+SELECT url, 'nlast', CASE WHEN 2 * local + 2 < n_local THEN 'Next 2'
+                          ELSE 'Next 1' END
+FROM layout WHERE 2 * local + 1 < n_local
 """
 
 
@@ -571,6 +581,18 @@ def q_xpath_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nxt(element):
         return {"t": "next", "v": element.text_content()}
 
+    # ancestor:: (reverse axis, [1] = nearest): climb from each description
+    # to its owning group div, then down to that group's title
+    @app.select(xpath=".//p[@class='description']/ancestor::div[1]/a/p")
+    def anc(element):
+        return {"t": "anc", "v": element.text_content()}
+
+    # '|' union (document order, deduped) + normalize-space() predicates
+    @app.select(xpath=".//a[starts-with(normalize-space(text()),'Next')]"
+                      " | .//a[normalize-space(.)='Self']")
+    def uni(element):
+        return {"t": "uni", "v": element.text_content()}
+
     ext = _extract_once(spark, sf_dir, app)
     return ext.filter(F.col("kind") == "data").select(
         "page_url",
@@ -590,6 +612,15 @@ UNION ALL
 SELECT url, 'next', 'Next ' || c
 FROM (SELECT *, unnest(generate_series(1, 2)) AS c FROM layout)
 WHERE 2 * local + c < n_local
+UNION ALL
+SELECT url, 'anc', 'Title ' || doc_id || '-' || k
+FROM ks WHERE k != 2
+UNION ALL
+SELECT url, 'uni', 'Next ' || c
+FROM (SELECT *, unnest(generate_series(1, 2)) AS c FROM layout)
+WHERE 2 * local + c < n_local
+UNION ALL
+SELECT url, 'uni', 'Self' FROM layout
 """
 
 
