@@ -27,6 +27,8 @@ salted two-phase top-k when the frontier is very large — see
 
 from __future__ import annotations
 
+import logging
+import re
 from typing import Iterator, Optional
 
 import pandas as pd
@@ -233,21 +235,84 @@ def _abp_to_regex(rule: str) -> str:
     return prefix + esc + suffix
 
 
+# resource-type ABP options (positive form). This engine filters frontier
+# URLs — top-level DOCUMENT requests — so a rule restricted to other
+# resource types can never match and is dropped, not mis-applied.
+_ABP_TYPE_OPTIONS = {
+    "script", "image", "stylesheet", "object", "xmlhttprequest", "xhr",
+    "subdocument", "frame", "ping", "websocket", "webrtc", "font", "media",
+    "other", "popup", "document", "doc", "all",
+}
+_ABP_DOC_TYPES = {"popup", "document", "doc", "all"}
+_warned_abp_options: set = set()
+
+
+def _abp_parse_line(line: str):
+    """One raw ABP list line → ``(kind, pattern)``.
+
+    ``kind``: ``"block"`` / ``"except"`` / ``None`` (comment, header,
+    element-hiding rule, or a rule whose type options exclude document
+    requests). ``$``-option suffixes are parsed: resource-type options
+    decide applicability (document-request context); context options this
+    engine cannot evaluate (``third-party``, ``domain=``, ...) are ignored
+    with a once-per-option ``logging`` warning — NOT treated as part of the
+    match pattern (real EasyLists would silently mis-filter otherwise).
+    """
+    line = line.strip()
+    if not line or line[0] in "![":  # comment / `[Adblock Plus 2.0]` header
+        return None, None
+    if re.search(r"#[@?$]?#", line):  # element hiding: ##, #@#, #?#, #$#
+        return None, None
+    kind = "block"
+    if line.startswith("@@"):
+        kind, line = "except", line[2:]
+    pattern, options = line, []
+    if not (len(line) > 1 and line.startswith("/") and line.endswith("/")):
+        head, sep, tail = line.rpartition("$")
+        # the tail is an options list only if every comma-separated token
+        # looks like one: `~?name` (no dots — separates `$image` the option
+        # from `$image.html` in a URL pattern) or `name=value`
+        if sep and head and all(
+            re.fullmatch(r"~?[A-Za-z][\w-]*(=[^\s]*)?", o)
+            for o in tail.split(",")
+        ):
+            pattern, options = head, tail.split(",")
+    pos_types = set()
+    for opt in options:
+        name = opt.lstrip("~").split("=", 1)[0].lower()
+        if name in _ABP_TYPE_OPTIONS:
+            if not opt.startswith("~"):
+                pos_types.add(name)
+        elif name not in _warned_abp_options:
+            _warned_abp_options.add(name)
+            logging.getLogger(__name__).warning(
+                "adblock: ignoring unsupported ABP option $%s "
+                "(no request context in frontier filtering)", name,
+            )
+    if pos_types and not (pos_types & _ABP_DOC_TYPES):
+        return None, None  # e.g. `$script,image`: cannot match a document
+    return kind, pattern
+
+
 def adblock_filter(frontier: DataFrame, rules: list[str]) -> DataFrame:
     """P4: drop URLs matching a blocklist (reference wraps ``braveblock``
     with Brave/ABP lists — ``optional/utils.py:31-46``, blocked-url test
     ``tests/test_bs4.py:340-371``).
 
-    ABP subset per :func:`_abp_to_regex`, plus ``@@rule`` exceptions (a URL
-    matching any exception survives even when a block rule matches).
-    Compiled ONCE to two JVM-side regex alternations — no Python and no
-    joins in the per-URL path, so the gate rides along inside the append-
-    time projection at any scale.
+    ABP subset per :func:`_abp_to_regex` with list-file awareness per
+    :func:`_abp_parse_line` (comments, element-hiding rules and
+    non-document-type rules dropped; unsupported ``$`` context options
+    ignored with a warning), plus ``@@rule`` exceptions (a URL matching any
+    exception survives even when a block rule matches). Compiled ONCE to
+    two JVM-side regex alternations — no Python and no joins in the
+    per-URL path, so the gate rides along inside the append-time
+    projection at any scale.
     """
     if not rules:
         return frontier
-    blocks = [_abp_to_regex(r) for r in rules if not r.startswith("@@")]
-    excepts = [_abp_to_regex(r[2:]) for r in rules if r.startswith("@@")]
+    parsed = [_abp_parse_line(r) for r in rules]
+    blocks = [_abp_to_regex(p) for k, p in parsed if k == "block" and p]
+    excepts = [_abp_to_regex(p) for k, p in parsed if k == "except" and p]
     out = frontier
     if blocks:
         blocked = F.col("url").rlike("|".join(f"({b})" for b in blocks))

@@ -113,6 +113,54 @@ def test_adblock_filter(spark):
     assert urls == {"https://ok.test/page.html"}
 
 
+def test_adblock_easylist_excerpt(spark, caplog):
+    """A raw EasyList excerpt: comments/headers and element-hiding lines are
+    dropped, $-type options decide document applicability, and unsupported
+    context options are ignored with a warning — never matched as literal
+    pattern text (the r2 behavior silently mis-filtered real lists)."""
+    import logging as _logging
+
+    from dude_spark.politeness import _abp_parse_line, _warned_abp_options
+
+    df = spark.createDataFrame(
+        [
+            ("https://x.test/ads/popunder.html",),     # $popup rule → blocked
+            ("https://x.test/js/analytics.js",),       # $script rule → NOT blocked (document ctx)
+            ("https://cdn.trk.example/pixel",),        # $third-party: option ignored, pattern applies
+            ("https://x.test/landing$image.html",),    # literal '$image' in URL must not confuse parse
+            ("https://x.test/clean.html",),
+            ("https://x.test/paywall/ok.html",),       # @@...$document exception
+        ],
+        "url string",
+    )
+    easylist = [
+        "[Adblock Plus 2.0]",
+        "! Title: EasyList excerpt",
+        "! Homepage: https://easylist.to/",
+        "x.test##.ad-banner",                 # element hiding: not a URL rule
+        "x.test#@#.ad-ok",                    # element-hiding exception
+        "/ads/popunder*$popup",               # popup → applies to documents
+        "/js/analytics.js$script",            # script-only → can't match a document fetch
+        "||trk.example^$third-party",         # unsupported ctx option: ignored with warning
+        "/paywall/$document",
+        "@@/paywall/ok$document",
+    ]
+    _warned_abp_options.clear()
+    with caplog.at_level(_logging.WARNING, logger="dude_spark.politeness"):
+        out = {r["url"] for r in adblock_filter(df, easylist).collect()}
+    assert out == {
+        "https://x.test/js/analytics.js",
+        "https://x.test/landing$image.html",
+        "https://x.test/clean.html",
+        "https://x.test/paywall/ok.html",
+    }
+    assert any("third-party" in r.message for r in caplog.records)
+    # warning is once-per-option
+    assert ("third-party" in _warned_abp_options)
+    # a '$' with a non-option tail stays in the pattern
+    assert _abp_parse_line("/landing$image.html") == ("block", "/landing$image.html")
+
+
 def test_adblock_abp_grammar(spark):
     df = spark.createDataFrame(
         [
