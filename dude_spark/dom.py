@@ -322,7 +322,7 @@ _CSS_TOKEN = re.compile(
     (?P<tag>\*|[a-zA-Z][\w-]*)
   | \.(?P<cls>[\w-]+)
   | \#(?P<id>[\w-]+)
-  | \[(?P<attr>[\w-]+)(?:(?P<op>[~^$*|]?=)(?P<quote>["']?)(?P<val>[^\]"']*)(?P=quote))?\]
+  | \[(?P<attr>[\w-]+)(?:(?P<op>[~^$*|]?=)(?P<quote>["']?)(?P<val>[^\]"']*?)(?P=quote)(?:\s+(?P<aflag>[iIsS]))?)?\s*\]
   | :(?P<pseudo>[\w-]+)(?:\((?P<parg>[^()]*)\))?
     """,
     re.VERBOSE,
@@ -366,6 +366,8 @@ class _Compound:
 
     @staticmethod
     def _attr_op(av: str, op: str, val: str) -> bool:
+        if op.endswith("i"):  # `[attr=v i]` flag: val pre-lowercased at parse
+            av, op = av.lower(), op[:-1]
         if op == "=":
             return av == val
         if op == "~=":
@@ -491,7 +493,13 @@ def _parse_compound(s: str) -> _Compound:
             comp.id = m.group("id")
         elif m.group("attr"):
             op = m.group("op") or "="
-            comp.attrs.append((m.group("attr").lower(), op, m.group("val")))
+            val = m.group("val")
+            # `[attr="v" i]`: ASCII case-insensitive value match (CSS4);
+            # `s` forces the case-sensitive default
+            if (m.group("aflag") or "").lower() == "i" and val is not None:
+                val = val.lower()
+                op = op + "i"
+            comp.attrs.append((m.group("attr").lower(), op, val))
         elif m.group("pseudo"):
             name = m.group("pseudo").lower()
             arg = m.group("parg")
@@ -747,9 +755,117 @@ def _pred_eval(el: Element, pred: str, position: int, total: int) -> bool:
     return _pred_atom(el, atom, position, total)
 
 
+class _NumParse:
+    """XPath 1.0 numeric expressions over the position context:
+    integers, ``position()``, ``last()``, ``+ - * div mod``, parens."""
+
+    _TOK = re.compile(
+        r"\s*(?:(?P<num>\d+)|(?P<pos>position\(\))|(?P<lst>last\(\))"
+        r"|(?P<op>div|mod|[+\-*()]))"
+    )
+
+    def __init__(self, s: str, position: int, total: int):
+        self.toks: List = []
+        i = 0
+        while i < len(s):
+            m = self._TOK.match(s, i)
+            if not m:
+                if s[i:].strip():
+                    raise ValueError(s)
+                break
+            i = m.end()
+            if m.group("num"):
+                self.toks.append(int(m.group("num")))
+            elif m.group("pos"):
+                self.toks.append(position)
+            elif m.group("lst"):
+                self.toks.append(total)
+            else:
+                self.toks.append(m.group("op"))
+        self.i = 0
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def expr(self) -> float:
+        v = self.term()
+        while self._peek() in ("+", "-"):
+            op = self.toks[self.i]
+            self.i += 1
+            w = self.term()
+            v = v + w if op == "+" else v - w
+        return v
+
+    def term(self) -> float:
+        v = self.factor()
+        while self._peek() in ("*", "div", "mod"):
+            op = self.toks[self.i]
+            self.i += 1
+            w = self.factor()
+            # XPath 1.0 numbers are doubles: `div` is TRUE division
+            # (`last() div 2` = 2.5, which as a positional predicate
+            # matches nothing — lxml parity); `mod` keeps the sign of the
+            # dividend (math.fmod), unlike Python's `%`
+            if op == "*":
+                v = v * w
+            elif op == "div":
+                v = v / w
+            else:
+                import math
+
+                v = math.fmod(v, w)
+        return v
+
+    def factor(self) -> float:
+        t = self._peek()
+        if t == "(":
+            self.i += 1
+            v = self.expr()
+            if self._peek() != ")":
+                raise ValueError("unbalanced paren")
+            self.i += 1
+            return v
+        if isinstance(t, int):
+            self.i += 1
+            return t
+        raise ValueError(f"bad numeric token: {t!r}")
+
+
+def _num_of(s: str, position: int, total: int) -> Optional[float]:
+    try:
+        p = _NumParse(s, position, total)
+        v = p.expr()
+        return v if p.i == len(p.toks) and p.toks else None
+    except (ValueError, ZeroDivisionError, IndexError):
+        return None
+
+
+_NUM_CMP = re.compile(r"(!=|<=|>=|=|<|>)")
+
+
+def _numeric_pred(pred: str, position: int, total: int) -> Optional[bool]:
+    """Arithmetic predicate: ``last() - 1``, ``position() mod 2 = 1``,
+    ``position() < last() - 2`` ... Returns None if not numeric."""
+    parts = _NUM_CMP.split(pred, maxsplit=1)
+    if len(parts) == 3:
+        lhs, cmp_op, rhs = parts
+        lv, rv = _num_of(lhs, position, total), _num_of(rhs, position, total)
+        if lv is None or rv is None:
+            return None
+        return {
+            "=": lv == rv, "!=": lv != rv, "<": lv < rv, ">": lv > rv,
+            "<=": lv <= rv, ">=": lv >= rv,
+        }[cmp_op]
+    v = _num_of(pred, position, total)
+    return None if v is None else position == v
+
+
 def _pred_atom(el: Element, pred: str, position: int, total: int) -> bool:
     m = _XP_PRED.match(pred)
     if not m:
+        r = _numeric_pred(pred, position, total)
+        if r is not None:
+            return r
         raise ValueError(f"unsupported XPath predicate: {pred!r}")
     if m.group("cattr"):
         return m.group("cval") in (el.attrib.get(m.group("cattr")) or "")

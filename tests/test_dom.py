@@ -221,3 +221,45 @@ def test_xpath_abbreviated_positional_is_per_parent():
     assert t(xpath_select(root, ".//li[last()]")) == ["a3", "b2"]
     assert t(xpath_select(root, ".//li[position()>2]")) == ["a3"]
     assert t(xpath_select(root, ".//descendant::li[2]")) == ["a2"]
+
+
+def test_css_attr_case_flag():
+    """CSS4 `[attr="v" i]` ASCII case-insensitive value flag; `s` keeps the
+    case-sensitive default. Applies to every operator."""
+    root = parse_html(
+        '<div><p data-x="AbC">d1</p><p data-x="abc">d2</p>'
+        '<p data-x="xyz">d3</p><a href="f.HTML">l</a></div>'
+    )
+    t = lambda els: [e.text_content() for e in els]
+    assert t(css_select(root, 'p[data-x="ABC" i]')) == ["d1", "d2"]
+    assert t(css_select(root, "p[data-x=abc i]")) == ["d1", "d2"]
+    assert t(css_select(root, 'p[data-x="abc" s]')) == ["d2"]
+    assert t(css_select(root, 'p[data-x="abc"]')) == ["d2"]
+    assert t(css_select(root, 'a[href$=".html" i]')) == ["l"]
+    assert t(css_select(root, 'a[href$=".html"]')) == []
+
+
+def test_xpath_numeric_predicates():
+    """XPath 1.0 arithmetic in predicates: last()-1, position() mod 2,
+    comparisons between numeric expressions, nested boolean parens."""
+    root = parse_html(
+        "<ul><li class='a'>one</li><li>two</li><li class='c'>three</li>"
+        "<li>four</li><li class='e'>five</li></ul>"
+    )
+    t = lambda els: [e.text_content() for e in els]
+    assert t(xpath_select(root, ".//li[last() - 1]")) == ["four"]
+    assert t(xpath_select(root, ".//li[position() mod 2 = 1]")) == [
+        "one", "three", "five"]
+    assert t(xpath_select(root, ".//li[position() < last() - 2]")) == [
+        "one", "two"]
+    assert t(xpath_select(root, ".//li[position() * 2 = 4]")) == ["two"]
+    # XPath numbers are doubles: 5 div 2 = 2.5 matches no position (lxml)
+    assert t(xpath_select(root, ".//li[last() div 2]")) == []
+    assert t(xpath_select(root, ".//li[(last() - 1) div 2]")) == ["two"]
+    assert t(xpath_select(
+        root, ".//li[(position() = 1 or position() = last()) and @class]"
+    )) == ["one", "five"]
+    # unsupported forms still raise loudly
+    import pytest
+    with pytest.raises(ValueError):
+        xpath_select(root, ".//li[string-length(text()) + 1]")
