@@ -539,6 +539,11 @@ def q_css_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nlast(element):
         return {"t": "nlast", "v": element.text_content()}
 
+    # CSS4 `[attr=v i]` case-insensitive flag: hrefs are lowercase item-*
+    @app.select(css='a.url[href^="ITEM-" i] > p.title')
+    def ciattr(element):
+        return {"t": "ci", "v": element.text_content()}
+
     ext = _extract_once(spark, sf_dir, app)
     return ext.filter(F.col("kind") == "data").select(
         "page_url",
@@ -559,6 +564,8 @@ UNION ALL
 SELECT url, 'nlast', CASE WHEN 2 * local + 2 < n_local THEN 'Next 2'
                           ELSE 'Next 1' END
 FROM layout WHERE 2 * local + 1 < n_local
+UNION ALL
+SELECT url, 'ci', 'Title ' || doc_id || '-' || k FROM ks
 """
 
 
@@ -593,6 +600,17 @@ def q_xpath_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     def uni(element):
         return {"t": "uni", "v": element.text_content()}
 
+    # arithmetic in positional predicates (XPath 1.0 doubles): second-from-
+    # last group, and odd-position groups — both applied AFTER the @class
+    # filter (sequential predicates re-rank per parent, lxml parity)
+    @app.select(xpath=".//div[@class='custom-group'][last() - 1]/a/p")
+    def arith(element):
+        return {"t": "arith", "v": element.text_content()}
+
+    @app.select(xpath=".//div[@class='custom-group'][position() mod 2 = 1]/a/p")
+    def modp(element):
+        return {"t": "modp", "v": element.text_content()}
+
     ext = _extract_once(spark, sf_dir, app)
     return ext.filter(F.col("kind") == "data").select(
         "page_url",
@@ -621,6 +639,12 @@ FROM (SELECT *, unnest(generate_series(1, 2)) AS c FROM layout)
 WHERE 2 * local + c < n_local
 UNION ALL
 SELECT url, 'uni', 'Self' FROM layout
+UNION ALL
+SELECT url, 'arith', 'Title ' || doc_id || '-' || (n_groups - 1)
+FROM layout WHERE n_groups >= 2
+UNION ALL
+SELECT url, 'modp', 'Title ' || doc_id || '-' || k
+FROM ks WHERE k % 2 = 1
 """
 
 
@@ -1509,6 +1533,137 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (the cell-partitioned scale path next to
+    sign-LSH; textops.similarity.ivf_topk): deterministic first-16
+    centroids, map-side cell assignment, 4-probe query join."""
+    from .textops.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).select(
+        F.col("query_id").cast("long"),
+        F.col("neighbor_id").cast("long"),
+        "cosine",
+        F.col("rank").cast("long"),
+    )
+
+
+def _oracle_ann_ivf(
+    k: int = 5, n_cells: int = 16, n_probe: int = 4, dim: int = 64
+) -> str:
+    """IVF oracle: centroids are data rows (vec_id < n_cells), so DuckDB
+    recomputes assignment/probing/scoring exactly — ties broken by cell id
+    in both engines (Spark: array_position→first max / struct sort)."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_cells}),
+scores AS (
+  SELECT e.vec_id, cent.cid,
+    list_sum(list_transform(generate_series(1, {dim}),
+             i -> e.v[i]::DOUBLE * cent.cv[i]::DOUBLE))
+    / sqrt(list_sum(list_transform(cent.cv, x -> x::DOUBLE * x::DOUBLE))) AS s
+  FROM e CROSS JOIN cent
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM scores) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+    FROM scores WHERE vec_id < 10) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.vec_id != p.query_id
+),
+pairs AS (
+  SELECT query_id, neighbor_id, round(
+    list_sum(list_transform(generate_series(1, {dim}),
+             i -> qe.v[i]::DOUBLE * be.v[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(qe.v, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(be.v, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine
+  FROM cand
+  JOIN e qe ON qe.vec_id = query_id
+  JOIN e be ON be.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs) WHERE rank <= {k}
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup collapse: sign-LSH candidate pairs →
+    cosine ≥ τ → keep-min representative per duplicate (the dedup twin of
+    ann_lsh_topk; see textops.similarity.embedding_near_dup). τ=0.42 /
+    6 planes × 8 tables sized to the synthetic embeddings' near-random
+    cosine spread (max pairwise ≈ 0.51)."""
+    from .textops.similarity import embedding_near_dup
+
+    emb = _emb(spark, sf_dir)
+    return embedding_near_dup(emb, threshold=0.42, n_planes=6).select(
+        F.col("vec_id").cast("long"),
+        F.col("keep_vec_id").cast("long"),
+        "cosine",
+    )
+
+
+def _oracle_dedup_embedding(
+    threshold: float = 0.42, n_planes: int = 6, n_tables: int = 8, dim: int = 64
+) -> str:
+    """Same precomputed sign-matrix trick as :func:`_oracle_ann_lsh`, but a
+    self-join + keep-min collapse instead of per-query top-k."""
+    import hashlib
+
+    def sign(t: int, p: int, i: int) -> int:
+        h = hashlib.md5(f"lsh{t}:{p}:{i}".encode()).hexdigest()[:8]
+        return (int(h, 16) % 2) * 2 - 1
+
+    def bucket_expr(t: int) -> str:
+        parts = []
+        for p in range(n_planes):
+            signs = "[" + ", ".join(str(sign(t, p, i)) for i in range(dim)) + "]"
+            parts.append(
+                f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}),"
+                f" i -> v[i]::DOUBLE * ({signs})[i])) > 0 THEN {2 ** p} ELSE 0 END)"
+            )
+        return " + ".join(parts)
+
+    bb = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, ({bucket_expr(t)}) AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+bb AS ({bb}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS keep_cand, b.vec_id AS dup_id
+  FROM bb a JOIN bb b USING (tbl, bucket)
+  WHERE a.vec_id < b.vec_id
+), pairs AS (
+  SELECT keep_cand, dup_id, round(
+    list_sum(list_transform(generate_series(1, {dim}),
+             i -> ae.v[i]::DOUBLE * be.v[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(ae.v, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(be.v, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+  FROM cand
+  JOIN e ae ON ae.vec_id = keep_cand
+  JOIN e be ON be.vec_id = dup_id
+)
+SELECT dup_id AS vec_id, min(keep_cand) AS keep_vec_id,
+       arg_min(cos, keep_cand) AS cosine
+FROM pairs WHERE cos >= {threshold}
+GROUP BY dup_id
+"""
+
+
 def _oracle_ann_lsh(
     k: int = 5, n_planes: int = 4, n_tables: int = 8, dim: int = 64
 ) -> str:
@@ -1618,6 +1773,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_event_windows": q_stream_event_windows,
         "frame_sample": q_frame_sample,
         "ann_lsh_topk": q_ann_lsh,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_ivf_topk": q_ann_ivf,
     }
 
 
@@ -1666,4 +1823,6 @@ def oracle_sql() -> Dict[str, str]:
         "stream_event_windows": ORACLE_STREAM_WINDOWS,
         "frame_sample": ORACLE_FRAME_SAMPLE,
         "ann_lsh_topk": _oracle_ann_lsh(),
+        "dedup_embedding": _oracle_dedup_embedding(),
+        "ann_ivf_topk": _oracle_ann_ivf(),
     }

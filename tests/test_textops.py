@@ -124,3 +124,44 @@ def test_token_count_edge_cases(spark):
     assert got[2]["n_tokens"] == 0
     assert got[3]["n_tokens"] == 0
     assert got[4]["n_tokens"] == 1
+
+
+def test_embedding_near_dup_planted(spark, emb):
+    """Plant exact and near copies of vectors; the collapse must map each
+    planted dup onto its original (keep-min, cosine ≥ τ), and never pair
+    unrelated near-random vectors at τ=0.9."""
+    from dude_spark.textops.similarity import embedding_near_dup
+
+    base = emb.filter("vec_id < 50")
+    exact_copy = base.withColumn("vec_id", F.col("vec_id") + 1000)
+    near_copy = base.withColumn("vec_id", F.col("vec_id") + 2000).withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x * F.lit(1.000001) + F.lit(1e-7)),
+    )
+    out = embedding_near_dup(
+        base.unionByName(exact_copy).unionByName(near_copy),
+        threshold=0.9, n_planes=6,
+    )
+    rows = {r["vec_id"]: (r["keep_vec_id"], r["cosine"]) for r in out.collect()}
+    # every planted copy collapses onto the ORIGINAL (min id of its clique)
+    for v in range(50):
+        assert rows[v + 1000][0] == v, (v, rows.get(v + 1000))
+        assert rows[v + 2000][0] == v
+        assert rows[v + 2000][1] >= 0.999999
+    # originals are keepers, not drops; random vectors never reach τ=0.9
+    assert all(k >= 1000 for k in rows)
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, emb):
+    """IVF with 4/16 probes must recover a solid fraction of exact top-5
+    and every hit's cosine must match the exact scorer bit-for-bit."""
+    from dude_spark.textops.similarity import cosine_topk, ivf_topk
+
+    q = emb.filter("vec_id < 20")
+    exact = cosine_topk(emb, q, k=5)
+    approx = ivf_topk(emb, q, k=5, n_cells=16, n_probe=4)
+    e = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in approx.collect()}
+    hits = set(e) & set(a)
+    assert len(hits) / len(e) >= 0.3  # 4-of-16-cell probe, near-random vectors
+    assert all(e[p] == a[p] for p in hits)
