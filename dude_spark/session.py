@@ -41,8 +41,17 @@ def get_spark(
         # per concurrent task, which turned into GC-driven 2-3× run-to-run
         # variance; 128-row (~20MB) batches measured both faster and stable
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
-        # batch engine: favor throughput GC over pause-time GC
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # batch engine: favor throughput GC over pause-time GC. GC threads
+        # capped at 8: the JVM defaults to ~23 on a 32-core box and at 32
+        # mutator threads they contend for the same saturated memory
+        # controllers — capping measured +20% wide-round throughput at
+        # local[32] (3/3 interleaved A/B wins; BENCH/BASELINE.md "8→32
+        # gap"). A real cluster's 4-8-core executor JVMs default to ≤8 GC
+        # threads anyway — local mode was uniquely mis-defaulted.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
+        )
         .config("spark.locality.wait", "0s")
         # The defaults batch 10k rows per in-memory-columnar cache batch and
         # compress each column: with ~50KB html blobs that is a ~500MB

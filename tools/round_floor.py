@@ -15,15 +15,23 @@ into round wall time.
 
 Usage: python tools/round_floor.py [cpus=8] [n_pages=16]
 Prints one JSON line:
-  {"cpus": N, "rounds": R, "seconds": S, "sec_per_round": S/R}
+  {"cpus": N, "rounds": R, "seconds": S, "sec_per_round": S/R,
+   "ms_per_round_by_stage": {...}}
+The per-stage itemization re-parses the crawl loop's
+DUDE_SPARK_DEBUG_TIMING lines for the timed run, so the floor is
+attributed to named loop stages (plan analysis, the one materializing
+job, checkpoint folds) rather than asserted.
 Warm-up: one full chain crawl (JIT + python-worker fork excluded), then the
 timed crawl on the same session.
 """
 
 from __future__ import annotations
 
+import contextlib
+import io
 import json
 import os
+import re
 import sys
 import time
 
@@ -35,6 +43,7 @@ def main() -> None:
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
     os.environ["SPARK_GRAFT_CPUS"] = cpus
+    os.environ["DUDE_SPARK_DEBUG_TIMING"] = "1"
     from dude_spark.api import Scraper
     from dude_spark.crawl import CrawlConfig, CrawlJob
     from dude_spark.session import get_spark
@@ -70,8 +79,23 @@ def main() -> None:
         res.results.count()
         return len(res.metrics), time.time() - t0
 
-    run()  # warm-up: python-worker fork + JIT + first-plan costs
-    rounds, secs = run()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        run()  # warm-up: python-worker fork + JIT + first-plan costs
+        rounds, secs = run()
+    # attribute the timed run's floor to the crawl loop's named stages
+    hits = re.findall(r"\[(\w+)\] ([0-9.]+)s", buf.getvalue())
+    timed = hits[len(hits) // 2 :]  # second (timed) crawl's lines
+    sums: dict = {}
+    counts: dict = {}
+    for label, sec in timed:
+        sums[label] = sums.get(label, 0.0) + float(sec)
+        counts[label] = counts.get(label, 0) + 1
+    by_stage = {
+        k: round(sums[k] / counts[k] * 1000)
+        for k in sorted(sums, key=lambda k: -sums[k])
+        if sums[k] / counts[k] >= 0.001
+    }
     print(
         json.dumps(
             {
@@ -79,6 +103,7 @@ def main() -> None:
                 "rounds": rounds,
                 "seconds": round(secs, 2),
                 "sec_per_round": round(secs / max(rounds, 1), 3),
+                "ms_per_round_by_stage": by_stage,
             }
         )
     )
