@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "dedup_embedding",
     "token_count",
     "quality_score",
     "sessionize",

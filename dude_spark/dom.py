@@ -12,21 +12,29 @@ Semantics are pinned to the reference's lxml backend:
 - CSS (and untyped ``selector=``) — evaluated with *descendant-or-self*
   scope relative to the context element (lxml's ``Element.cssselect``).
   Supported subset: tag, ``.class``, ``#id``, ``[attr]`` with operators
-  ``= ~= ^= $= *= |=``, ``*``, ``:root``, structural pseudo-classes
-  (``:first-child :last-child :only-child :empty :nth-child(an+b|odd|even)
-  :first-of-type :last-of-type :nth-of-type :not(compound)``), compound
-  selectors, combinators (descendant, ``>``, ``+``, ``~`` — matched with
-  backtracking, bounded to the context subtree), and selector groups
-  (``,``). Results in document order.
+  ``= ~= ^= $= *= |=`` (plus the CSS4 ``[attr=v i]`` ASCII
+  case-insensitive flag; ``s`` keeps the default), ``*``, ``:root``,
+  structural pseudo-classes (``:first-child :last-child :only-child
+  :empty :nth-child(an+b|odd|even) :nth-last-child :first-of-type
+  :last-of-type :nth-of-type :nth-last-of-type :not(compound)``),
+  compound selectors, combinators (descendant, ``>``, ``+``, ``~`` —
+  matched with backtracking, bounded to the context subtree), and
+  selector groups (``,``). Results in document order.
 - XPath — subset: ``.//name``, ``//name``, ``./name``, ``*``/``node()``
   wildcards, ``..``, explicit axes (``following-sibling:: preceding-
-  sibling:: parent:: self:: child:: descendant::``), chained steps,
-  predicates applied sequentially with top-level ``or``/``and``/``not()``
+  sibling:: parent:: self:: child:: descendant:: ancestor::
+  ancestor-or-self::``), top-level ``|`` union (node-sets merge in
+  document order, deduped), chained steps, predicates applied
+  sequentially (positional predicates re-rank per parent after earlier
+  filters, lxml parity) with nestable ``or``/``and``/``not()``/parens
   over atoms ``contains(@a,'s')``, ``contains(text(),'s')``,
   ``starts-with(@a|text(),'s')``, ``re:test(text(),pat[,flags])``,
-  ``text()='v'``, ``@a='v'``, ``@a!='v'``, ``[@a]``, ``[N]``,
-  ``position() op N``, ``last()``; plus trailing ``/@attr`` and
-  ``/text()`` value steps.
+  ``text()='v'``, ``@a='v'``, ``@a!='v'``, ``[@a]``,
+  ``normalize-space(.|text()|@a)`` under ``=``/``!=``/``contains``/
+  ``starts-with``, and numeric expressions over the position context
+  (``position()``, ``last()``, integers, ``+ - * div mod``, parens,
+  comparisons — XPath 1.0 double semantics); plus trailing ``/@attr``
+  and ``/text()`` value steps.
 - TEXT selector ``s`` — lxml translation ``.//*[contains(text(), s)]``
   (``lxml_scraper.py:186-188``): *first direct text node* contains ``s``
   (XPath 1.0 node-set→string takes the first node).
@@ -1025,6 +1033,20 @@ def xpath_select(scope: Element, expr: str):
                     cand.append(p)
                     p = p.parent
                 groups = [cand]
+            elif axis == "following":
+                # all elements after n's subtree in document order
+                # (flat-array slice; excludes descendants by construction)
+                groups = [list(n._nodes[n.end :])]
+            elif axis == "preceding":
+                # reverse axis, position 1 = nearest preceding; excludes
+                # ancestors (their subtree extent spans n.order)
+                groups = [
+                    [
+                        m
+                        for m in n._nodes[: n.order][::-1]
+                        if m.end <= n.order and m.tag != "#document"
+                    ]
+                ]
             elif axis == "parent":
                 groups = [[n.parent] if n.parent is not None else []]
             elif axis == "self":

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from . import portable_hash32
 
 
 def _dot(a, b):
@@ -73,23 +72,38 @@ def cosine_topk(
     )
 
 
+def _plane_signs(seed: str, p: int, dim: int) -> list:
+    """±1 hyperplane coordinates: md5(f"{seed}:{p}:{i}")[:8] % 2 * 2 - 1 —
+    the driver-side twin of ``portable_hash32(str(i), salt=f"{seed}:{p}")``
+    (same bytes hashed, same parity), and of the DuckDB oracles' inlined
+    sign matrices."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:8], 16) % 2)
+        * 2
+        - 1
+        for i in range(dim)
+    ]
+
+
 def signlsh_bucket(vec_col, n_planes: int = 8, dim: int = 64, seed: str = "lsh"):
     """Random-hyperplane bucket id: sign pattern of ``n_planes`` pseudo-random
     projections. Hyperplanes are derived deterministically from
     portable hashes of (seed, plane, coordinate) — reproducible everywhere,
-    no stored model."""
+    no stored model.
+
+    The sign matrix is CONSTANT, so it is computed once driver-side and
+    inlined as literal arrays; the per-row work is a pure multiply-add fold
+    (the earlier in-expression form re-evaluated dim×planes md5 calls per
+    ROW — identical values, ~2000× the per-row CPU)."""
     bucket = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        # pseudo-random ±1 plane: sign((hash(seed,p,i) % 2)*2 - 1)
+        signs = F.array(
+            *[F.lit(float(s)) for s in _plane_signs(seed, p, dim)]
+        )
         proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: x.cast("double")
-                * (
-                    (portable_hash32(i.cast("string"), salt=f"{seed}:{p}") % 2) * 2 - 1
-                ).cast("double"),
-            ),
+            F.zip_with(vec_col, signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

@@ -263,3 +263,23 @@ def test_xpath_numeric_predicates():
     import pytest
     with pytest.raises(ValueError):
         xpath_select(root, ".//li[string-length(text()) + 1]")
+
+
+def test_xpath_following_preceding_axes():
+    """Document-order axes: following:: excludes descendants, preceding::
+    excludes ancestors; both span the whole document, positional predicates
+    count from the nearest node (reverse for preceding), results return in
+    document order (lxml parity)."""
+    root = parse_html(
+        "<html><body><div id='a'><p>a1</p><p>a2</p></div>"
+        "<div id='b'><span>b1</span></div>"
+        "<div id='c'><p>c1</p></div></body></html>"
+    )
+    t = lambda els: [e.text_content() for e in els]
+    assert t(xpath_select(root, ".//div[@id='a']/following::p")) == ["c1"]
+    assert t(xpath_select(root, ".//div[@id='a']/following::div[1]")) == ["b1"]
+    assert t(xpath_select(root, ".//div[@id='c']/preceding::p[1]")) == ["a2"]
+    assert t(xpath_select(root, ".//span/preceding::div")) == ["a1a2"]
+    # ancestors of c1's <p> are excluded; document order in the result
+    assert t(xpath_select(root, ".//p[text()='c1']/preceding::div")) == [
+        "a1a2", "b1"]
