@@ -23,6 +23,7 @@ from .corpus import N_HOSTS, pages_df, robots_df, seeds
 from .crawl import CrawlConfig, CrawlJob
 from .extract import make_extract_iterator
 from .flatten import flatten
+from .frontier import canonicalize
 from .politeness import budget_rank, compile_robots, robots_gate
 from .textops import duckdb_hash32
 from .textops.dedup import (
@@ -1725,6 +1726,194 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 
 # ---------------------------------------------------------------------------
 
+def q_warc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-version dedupe over the input_hint capture table (url, warc_ts):
+    synthesize a re-crawl (every doc_id%3==0 page captured again +86400s,
+    snap_id offset +10M) and keep the newest capture per URL — the standard
+    Common-Crawl "latest snapshot" reduction."""
+    from .textops.dedup import latest_snapshot
+
+    pages = pages_df(spark, sf_dir).select(
+        "url", "warc_ts", F.col("doc_id").alias("snap_id")
+    )
+    recrawl = (
+        pages.filter(F.col("snap_id") % 3 == 0)
+        .withColumn("warc_ts", F.col("warc_ts") + F.make_interval(secs=F.lit(86400)))
+        .withColumn("snap_id", F.col("snap_id") + F.lit(10_000_000))
+    )
+    snaps = pages.unionByName(recrawl)
+    return latest_snapshot(snaps).select(
+        "url",
+        F.col("n_snapshots").cast("long").alias("n_snapshots"),
+        F.col("latest_snap_id").cast("long").alias("latest_snap_id"),
+    )
+
+
+# warc_ts is base + doc_id seconds (corpus.py), so capture-time order ==
+# (doc_id [+86400 for the re-crawl]) order — the oracle ranks on that int
+ORACLE_WARC_LATEST = """
+WITH snaps AS (
+  SELECT 'https://host-' || (doc_id % 20) || '.test/page-' || (doc_id // 20) || '.html' AS url,
+         doc_id AS snap_id, doc_id AS ts
+  FROM documents
+  UNION ALL
+  SELECT 'https://host-' || (doc_id % 20) || '.test/page-' || (doc_id // 20) || '.html',
+         doc_id + 10000000, doc_id + 86400
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT url, count(*) AS n_snapshots, arg_max(snap_id, ts) AS latest_snap_id
+FROM snaps GROUP BY url
+"""
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rules (top-word / top-bigram token fraction
+    + keep flag); see textops.quality.gopher_repetition for the
+    one-explode tagged-union distributed shape."""
+    from .textops.quality import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_words").cast("long"),
+        "top_word_frac",
+        "top_bigram_frac",
+        F.col("keep").cast("long"),
+    )
+
+
+ORACLE_QUALITY_GOPHER = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n_words FROM t
+), grams AS (
+  SELECT doc_id, n_words, 'w' AS kind, unnest(toks) AS gram FROM n
+  UNION ALL
+  SELECT doc_id, n_words, 'b' AS kind,
+         unnest(list_transform(generate_series(1, n_words - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM n WHERE n_words >= 2
+), c AS (
+  SELECT doc_id, kind, gram, count(*) AS c, any_value(n_words) AS n_words
+  FROM grams GROUP BY 1, 2, 3
+), m AS (
+  SELECT doc_id, kind, max(c) AS top_c, any_value(n_words) AS n_words
+  FROM c GROUP BY 1, 2
+), p AS (
+  SELECT doc_id, any_value(n_words) AS n_words,
+         max(CASE WHEN kind = 'w' THEN top_c END) AS top_w,
+         max(CASE WHEN kind = 'b' THEN top_c END) AS top_b
+  FROM m GROUP BY doc_id
+)
+SELECT doc_id, n_words::BIGINT AS n_words,
+       round(top_w * 1.0 / n_words, 6) AS top_word_frac,
+       round(coalesce(top_b * 1.0 / nullif(n_words - 1, 0), 0), 6) AS top_bigram_frac,
+       (CASE WHEN round(top_w * 1.0 / n_words, 6) <= 0.30
+              AND round(coalesce(top_b * 1.0 / nullif(n_words - 1, 0), 0), 6) <= 0.18
+        THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM p
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the REAL extracted link graph (mapInPandas extraction
+    → page-link edges → 3 unrolled rank iterations). Every page has ≤1
+    parent in the corpus tree, so per-dst sums are single-term and the
+    float sequence is engine-portable (bit-identical doubles); the output
+    is floor(rank·1e9) as BIGINT because round() SEMANTICS differ between
+    engines at decimal half-ties (Spark rounds the shortest decimal repr
+    HALF_UP, DuckDB rounds the binary value — 0.0004275 split them),
+    while floor of identical doubles cannot."""
+    from .graph import pagerank
+
+    ext = _extract_once(spark, sf_dir, _extraction_scraper(), follow=True)
+    edges = (
+        ext.filter(F.col("kind") == "link")
+        .filter(F.col("link").rlike(r"/page-\d+\.html$"))
+        .select(F.col("page_url").alias("src"), F.col("link").alias("dst"))
+    )
+    nodes = pages_df(spark, sf_dir).select("url")
+    pr = pagerank(edges, nodes, iters=3, damping=0.85)
+    return pr.select(
+        F.col("node").alias("url"),
+        F.floor(F.col("rank") * F.lit(1e9)).cast("long").alias("pagerank_e9"),
+    )
+
+
+def _oracle_pagerank(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled PageRank oracle: edges are the corpus tree closed-form
+    (child local = 2*local+c ⇒ child doc_id = 2*doc_id - host_id + 20*c).
+
+    Float-portability: DuckDB parses ``0.85``/``1 - 0.85`` as exact
+    DECIMALs (1-0.85 = exactly 0.15) while the Spark side computes
+    ``1.0 - 0.85`` in binary doubles (= 0.15000000000000002…) — a 1-ulp
+    divergence that flips floor(rank·1e9). So the Python-computed double
+    constants are inlined verbatim with explicit DOUBLE casts, and r0 is
+    cast DOUBLE so no DECIMAL arithmetic leaks into the iteration."""
+    base = repr(1.0 - d)   # the exact double Spark uses for (1-d)
+    dd = repr(d)
+    ctes = [
+        """edges AS (
+  SELECT url AS src,
+         'https://host-' || host_id || '.test/page-' || (2*local + c) || '.html' AS dst,
+         CASE WHEN 2*local + 1 < n_local AND 2*local + 2 < n_local THEN 2 ELSE 1 END AS deg
+  FROM (SELECT *, unnest([1, 2]) AS c FROM layout)
+  WHERE 2*local + c < n_local
+)""",
+        "nodes AS (SELECT url AS node FROM layout)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT nd.node,
+         CAST({base} AS DOUBLE) / (SELECT n FROM nn)
+           + CAST({dd} AS DOUBLE) * coalesce(s.s, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / e.deg) AS s
+    FROM edges e JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nd.node
+)""")
+    return (
+        LAYOUT_CTE
+        + ", "
+        + ", ".join(ctes)
+        + f"\nSELECT node AS url, floor(rank * 1e9)::BIGINT AS pagerank_e9 FROM r{iters}"
+    )
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins frontier URL canonicalization + host parsing (frontier.py
+    canonicalize/with_url_meta): messy fragment-bearing URLs in, canonical
+    url + parsed host out, against the closed-form layout."""
+    pages = pages_df(spark, sf_dir)
+    messy = F.concat(
+        F.col("url"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("#sec-"), F.col("doc_id").cast("string")),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("#"))
+        .otherwise(F.lit("")),
+    )
+    canon = canonicalize(messy)
+    return pages.select(
+        F.col("doc_id").cast("long"),
+        canon.alias("canon_url"),
+        F.parse_url(canon, F.lit("HOST")).alias("host"),
+    )
+
+
+ORACLE_URL_CANONICAL = """
+SELECT doc_id,
+       'https://host-' || (doc_id % 20) || '.test/page-' || (doc_id // 20) || '.html' AS canon_url,
+       'host-' || (doc_id % 20) || '.test' AS host
+FROM documents
+"""
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl/extract engine
@@ -1775,6 +1964,10 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "dedup_embedding": q_dedup_embedding,
         "ann_ivf_topk": q_ann_ivf,
+        "warc_latest": q_warc_latest,
+        "quality_gopher": q_quality_gopher,
+        "pagerank": q_pagerank,
+        "url_canonical": q_url_canonical,
     }
 
 
@@ -1825,4 +2018,8 @@ def oracle_sql() -> Dict[str, str]:
         "ann_lsh_topk": _oracle_ann_lsh(),
         "dedup_embedding": _oracle_dedup_embedding(),
         "ann_ivf_topk": _oracle_ann_ivf(),
+        "warc_latest": ORACLE_WARC_LATEST,
+        "quality_gopher": ORACLE_QUALITY_GOPHER,
+        "pagerank": _oracle_pagerank(),
+        "url_canonical": ORACLE_URL_CANONICAL,
     }

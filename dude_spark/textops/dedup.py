@@ -63,6 +63,32 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def latest_snapshot(
+    pages: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "snap_id",
+) -> DataFrame:
+    """URL-version dedupe over a Common-Crawl-style capture table
+    (BASELINE.json input_hint shape — ``url``, ``warc_ts``): of the N
+    captures of one canonical URL, keep the newest ``warc_ts``.
+
+    Returns one row per key: (key, n_snapshots, latest_<id_col>). Ties on
+    ``ts_col`` break toward the larger id (``max_by`` struct ordering).
+
+    100 TB shape: a single hash aggregate on the URL key — map-side partial
+    aggregation collapses each input partition to its local per-URL max
+    before the one shuffle, so reduce-side volume is O(distinct urls), not
+    O(captures). No window, no sort, no driver state.
+    """
+    # max_by via struct-max: (ts, id) lexicographic → deterministic ties
+    best = F.max(F.struct(F.col(ts_col), F.col(id_col)))
+    return pages.groupBy(key_col).agg(
+        F.count("*").alias("n_snapshots"),
+        best.getField(id_col).alias(f"latest_{id_col}"),
+    )
+
+
 def minhash_signature(
     docs: DataFrame, text_col: str = "text", k: int = DEFAULT_K, shingle_n: int = 3
 ) -> DataFrame:

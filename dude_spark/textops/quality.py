@@ -86,6 +86,67 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_repetition(docs: DataFrame, text_col: str = "text",
+                      max_word_frac: float = 0.30,
+                      max_bigram_frac: float = 0.18) -> DataFrame:
+    """Gopher-style repetition filter (Rae et al. 2021 §A1.1 "repetitious
+    text" rules, count-fraction variant): per document, the fraction of
+    tokens taken by the single most frequent word and by the most frequent
+    word bigram; documents above either threshold are flagged drop.
+
+    Distributed shape: ONE explode of a tagged union (word grams + bigram
+    grams) → hash-aggregate (doc_id, kind, gram) with map-side combine →
+    per-doc max → conditional-agg pivot. Work and shuffle volume are
+    O(total tokens); no per-doc state lives on the driver, so the same plan
+    runs at 100 TB — the (doc_id, kind, gram) key is near-unique, which
+    makes the first combine do almost all the reduction locally.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n_words", F.size("toks")
+    )
+    words = d.select(
+        "doc_id", "n_words", F.lit("w").alias("kind"),
+        F.explode("toks").alias("gram"),
+    )
+    bigram_arr = F.zip_with(
+        F.expr("slice(toks, 1, size(toks) - 1)"),
+        F.expr("slice(toks, 2, size(toks) - 1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bigrams = d.filter(F.col("n_words") >= 2).select(
+        "doc_id", "n_words", F.lit("b").alias("kind"),
+        F.explode(bigram_arr).alias("gram"),
+    )
+    counts = (
+        words.unionByName(bigrams)
+        .groupBy("doc_id", "kind", "gram")
+        .agg(F.count("*").alias("c"), F.first("n_words").alias("n_words"))
+    )
+    maxes = counts.groupBy("doc_id", "kind").agg(
+        F.max("c").alias("top_c"), F.first("n_words").alias("n_words")
+    )
+    top_w = F.max(F.when(F.col("kind") == "w", F.col("top_c")))
+    top_b = F.max(F.when(F.col("kind") == "b", F.col("top_c")))
+    n_words = F.first("n_words")
+    out = maxes.groupBy("doc_id").agg(
+        n_words.alias("n_words"),
+        F.round(top_w / n_words, 6).alias("top_word_frac"),
+        F.round(
+            F.coalesce(top_b / (n_words - F.lit(1)), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+    # keep flag from the ROUNDED fractions (threshold compare is then
+    # engine-portable — no 1-ulp boundary flips vs the oracle)
+    return out.withColumn(
+        "keep",
+        (
+            (F.col("top_word_frac") <= max_word_frac)
+            & (F.col("top_bigram_frac") <= max_bigram_frac)
+        ).cast("int"),
+    )
+
+
 def lang_stats(docs: DataFrame) -> DataFrame:
     """Per-language corpus profile (counts, length stats, source spread)."""
     return (
