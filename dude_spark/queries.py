@@ -1761,9 +1761,13 @@ WITH snaps AS (
          doc_id + 10000000, doc_id + 86400
   FROM documents WHERE doc_id % 3 = 0
 )
-SELECT url, count(*) AS n_snapshots, arg_max(snap_id, ts) AS latest_snap_id
+SELECT url, count(*) AS n_snapshots,
+       max(struct_pack(ts := ts, id := snap_id)).id AS latest_snap_id
 FROM snaps GROUP BY url
 """
+# struct-max (not arg_max): DuckDB's arg_max tie-breaking is unspecified,
+# while lexicographic struct max matches latest_snapshot's documented
+# larger-id-wins-on-ts-tie semantics deterministically (ADVICE r3).
 
 
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1775,8 +1779,8 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("long"),
         F.col("n_words").cast("long"),
-        "top_word_frac",
-        "top_bigram_frac",
+        "top_word_ppm",
+        "top_bigram_ppm",
         F.col("keep").cast("long"),
     )
 
@@ -1807,13 +1811,18 @@ WITH t AS (
   FROM m GROUP BY doc_id
 )
 SELECT doc_id, n_words::BIGINT AS n_words,
-       round(top_w * 1.0 / n_words, 6) AS top_word_frac,
-       round(coalesce(top_b * 1.0 / nullif(n_words - 1, 0), 0), 6) AS top_bigram_frac,
-       (CASE WHEN round(top_w * 1.0 / n_words, 6) <= 0.30
-              AND round(coalesce(top_b * 1.0 / nullif(n_words - 1, 0), 0), 6) <= 0.18
+       floor(top_w * 1.0 / n_words * 1000000)::BIGINT AS top_word_ppm,
+       floor(coalesce(top_b * 1.0 / nullif(n_words - 1, 0), 0) * 1000000)::BIGINT
+         AS top_bigram_ppm,
+       (CASE WHEN floor(top_w * 1.0 / n_words * 1000000) <= 300000
+              AND floor(coalesce(top_b * 1.0 / nullif(n_words - 1, 0), 0) * 1000000)
+                  <= 180000
         THEN 1 ELSE 0 END)::BIGINT AS keep
 FROM p
 """
+# floor-scaled ppm BIGINTs (not round(x, 6)): ratios of small integers land
+# on decimal half-ties where Spark/DuckDB round() disagree (the q_pagerank
+# 0.0004275 case); floor of bit-identical doubles cannot diverge (ADVICE r3).
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -135,14 +135,24 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text",
         F.round(
             F.coalesce(top_b / (n_words - F.lit(1)), F.lit(0.0)), 6
         ).alias("top_bigram_frac"),
+        # Portable integer twins of the fractions: floor(frac·1e6) of the
+        # raw double ratio. top_c/n_words is one IEEE division of exact
+        # integers → bit-identical across engines, and floor of identical
+        # doubles cannot diverge — unlike round(x, 6), whose half-tie
+        # semantics differ between Spark (shortest-repr HALF_UP) and DuckDB
+        # (binary-value). The keep flag + oracle gate use these.
+        F.floor(top_w / n_words * F.lit(1_000_000))
+        .cast("bigint").alias("top_word_ppm"),
+        F.floor(
+            F.coalesce(top_b / (n_words - F.lit(1)), F.lit(0.0)) * F.lit(1_000_000)
+        ).cast("bigint").alias("top_bigram_ppm"),
     )
-    # keep flag from the ROUNDED fractions (threshold compare is then
-    # engine-portable — no 1-ulp boundary flips vs the oracle)
+    # keep flag from the integer ppm values (engine-portable thresholds)
     return out.withColumn(
         "keep",
         (
-            (F.col("top_word_frac") <= max_word_frac)
-            & (F.col("top_bigram_frac") <= max_bigram_frac)
+            (F.col("top_word_ppm") <= int(max_word_frac * 1_000_000))
+            & (F.col("top_bigram_ppm") <= int(max_bigram_frac * 1_000_000))
         ).cast("int"),
     )
 
