@@ -20,10 +20,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from . import portable_hash32
+from . import fast_hash32, portable_hash32
 
 DEFAULT_K = 16        # minhash signature length
 DEFAULT_BANDS = 4     # LSH bands (rows per band = K / BANDS)
+
+# hash family registry for the MinHash pipeline: 'md5' is the DuckDB-
+# portable oracle path (one md5 digest + hex substring + base conversion
+# per (salt, shingle) — CPU-heavy); 'xxhash64' is the production path
+# (Spark's native codegen'd hash, no digest/string materialization —
+# measured several× faster, same minhash/LSH statistics). Both map a
+# shingle to a uniform 32-bit value, so candidate quality is identical;
+# only the concrete hash values differ (tests/test_textops pins that both
+# families resolve the same duplicate pair-set on a seeded corpus).
+HASH_FNS = {"md5": portable_hash32, "xxhash64": fast_hash32}
 
 
 def normalize_text(col: Column) -> Column:
@@ -90,19 +100,21 @@ def latest_snapshot(
 
 
 def minhash_signature(
-    docs: DataFrame, text_col: str = "text", k: int = DEFAULT_K, shingle_n: int = 3
+    docs: DataFrame, text_col: str = "text", k: int = DEFAULT_K, shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, sig array<bigint>[k]) — min over shingle hashes per function.
 
-    K hash functions = one md5 per (salt i, shingle); all inside a single
+    K hash functions = one hash per (salt i, shingle); all inside a single
     projection over the shingle array (no explode, no shuffle).
+    ``hash_fn``: 'md5' (DuckDB-portable, oracle path) or 'xxhash64'
+    (native codegen'd hash, the production path — see HASH_FNS).
     """
+    h = HASH_FNS[hash_fn]
     sh = word_shingles(F.col(text_col), shingle_n)
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: portable_hash32(s, salt=str(i)))
-            )
+            F.array_min(F.transform(sh, lambda s, i=i: h(s, salt=str(i))))
             for i in range(k)
         ]
     )
@@ -115,6 +127,7 @@ def minhash_lsh_pairs(
     k: int = DEFAULT_K,
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH on the minhash signature.
 
@@ -122,7 +135,7 @@ def minhash_lsh_pairs(
     (doc_a, doc_b, n_bands_matched). The per-band bucket join shuffles on
     the band signature string — tiny keys, broadcast-able dimension-free.
     """
-    sig = minhash_signature(docs, text_col, k, shingle_n)
+    sig = minhash_signature(docs, text_col, k, shingle_n, hash_fn=hash_fn)
     rows_per_band = k // bands
     band_cols = []
     for b in range(bands):

@@ -42,6 +42,42 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs):
     assert hits >= 30  # high recall on 1-word edits
 
 
+def test_minhash_hash_families_same_pairs(spark, docs):
+    """md5 (oracle path) and xxhash64 (production path) must resolve the
+    SAME duplicate pair-set on a corpus of planted near-identical copies —
+    the hash family changes the signature values, not which documents
+    collide in every band (identical shingle sets hash identically within
+    a family). This is the equivalence gate behind dedup_minhash_lsh_xx's
+    rows-only driver check (VERDICT r3 #4)."""
+    from dude_spark.textops.dedup import minhash_lsh_pairs
+
+    base = docs.filter("doc_id < 60")
+    # exact copies: identical shingle sets → identical signatures within ANY
+    # hash family → the ≥2-band pair-set must be equal across families
+    copies = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    corpus = base.unionByName(copies)
+    pair_sets = {}
+    for fn in ("md5", "xxhash64"):
+        pairs = minhash_lsh_pairs(corpus, k=16, bands=4, hash_fn=fn).filter(
+            "n_bands_matched >= 2"
+        )
+        pair_sets[fn] = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert pair_sets["md5"] == pair_sets["xxhash64"]
+    assert len(pair_sets["md5"]) >= 60  # found every planted copy
+
+    # near-dups (1-word edits): individual band collisions are legitimately
+    # family-dependent at the margin, so gate RECALL per family, not set
+    # equality (the md5 twin's recall is pinned by the test above)
+    near = base.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzz"))
+    )
+    xx = minhash_lsh_pairs(
+        base.unionByName(near), k=16, bands=4, hash_fn="xxhash64"
+    )
+    found = {(r["doc_a"], r["doc_b"]) for r in xx.collect()}
+    assert sum((i, i + 1_000_000) in found for i in range(60)) >= 45
+
+
 def test_simhash_near_dup_small_hamming(spark, docs):
     from dude_spark.textops.dedup import simhash
 
