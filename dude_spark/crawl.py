@@ -402,7 +402,10 @@ class CrawlJob:
                     )
                 out = allowed_domains_filter(df, F.broadcast(allowed_df))
             if cfg.adblock_rules:
-                out = adblock_filter(out, cfg.adblock_rules)
+                out = adblock_filter(
+                    out, cfg.adblock_rules,
+                    source_col="source_url" if "source_url" in df.columns else None,
+                )
             if robots_rows is not None:
                 out = inline_robots_gate(out, robots_rows)
             elif compiled_robots is not None:
@@ -442,8 +445,11 @@ class CrawlJob:
         else:
             if cfg.state_dir and os.path.isdir(cfg.state_dir):
                 shutil.rmtree(cfg.state_dir)
+            # seeds carry a NULL source_url: no referrer → first-party, so
+            # $third-party/$domain= rules correctly never block a seed
             frontier = gate_append(
                 seed_frontier(spark, seed_urls, self.scraper.requests)
+                .withColumn("source_url", F.lit(None).cast("string"))
             ).select(*CRAWL_COLS)
             frontier = self._persist(frontier, "frontier", -1)
             seen = frontier.select("url", "url_hash")
@@ -647,6 +653,8 @@ class CrawlJob:
                 extracted.filter(F.col("kind") == "link")
                 .select(
                     canonicalize(F.col("link")).alias("url"),
+                    # referring page → ABP $third-party/$domain= context
+                    F.col("url").alias("source_url"),
                     (F.col("depth") + 1).alias("depth"),
                     F.col("seq").alias("parent_seq"),
                     F.col("link_seq"),

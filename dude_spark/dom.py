@@ -31,10 +31,13 @@ Semantics are pinned to the reference's lxml backend:
   ``starts-with(@a|text(),'s')``, ``re:test(text(),pat[,flags])``,
   ``text()='v'``, ``@a='v'``, ``@a!='v'``, ``[@a]``,
   ``normalize-space(.|text()|@a)`` under ``=``/``!=``/``contains``/
-  ``starts-with``, and numeric expressions over the position context
-  (``position()``, ``last()``, integers, ``+ - * div mod``, parens,
-  comparisons — XPath 1.0 double semantics); plus trailing ``/@attr``
-  and ``/text()`` value steps.
+  ``starts-with``, ``substring(.|text()|@a, start[, len]) = 'v'``
+  (integer positions), and numeric expressions over the position context
+  (``position()``, ``last()``, ``count(relpath)``,
+  ``string-length(.|text()|@a|normalize-space(...))``, integers,
+  ``+ - * div mod``, parens, comparisons — XPath 1.0 double semantics,
+  numeric predicate values positional per §2.4); plus trailing
+  ``/@attr`` and ``/text()`` value steps.
 - TEXT selector ``s`` — lxml translation ``.//*[contains(text(), s)]``
   (``lxml_scraper.py:186-188``): *first direct text node* contains ``s``
   (XPath 1.0 node-set→string takes the first node).
@@ -763,16 +766,50 @@ def _pred_eval(el: Element, pred: str, position: int, total: int) -> bool:
     return _pred_atom(el, atom, position, total)
 
 
+def _balanced_arg(s: str, start: int) -> int:
+    """Index just past the ')' closing the paren at ``start`` (quote-aware)."""
+    depth = 0
+    q: Optional[str] = None
+    for i in range(start, len(s)):
+        c = s[i]
+        if q:
+            if c == q:
+                q = None
+        elif c in "\"'":
+            q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise ValueError(f"unbalanced parens in {s!r}")
+
+
+def _rel_nodes(el: "Element", path: str) -> List:
+    """Node-set of a RELATIVE location path from ``el`` (the argument form
+    of ``count()``): bare steps (``a``, ``p[...]``, ``*``, explicit axes,
+    ``@attr``, ``text()``) are child-axis per XPath 1.0; ``.//``/``./``//
+    ``//`` forms pass through to :func:`xpath_select` unchanged."""
+    p = path.strip()
+    if not p.startswith((".", "/")):
+        p = "./" + p
+    return xpath_select(el, p)
+
+
 class _NumParse:
     """XPath 1.0 numeric expressions over the position context:
-    integers, ``position()``, ``last()``, ``+ - * div mod``, parens."""
+    integers, ``position()``, ``last()``, ``count(path)``,
+    ``string-length(arg)``, ``+ - * div mod``, parens."""
 
     _TOK = re.compile(
         r"\s*(?:(?P<num>\d+)|(?P<pos>position\(\))|(?P<lst>last\(\))"
+        r"|(?P<cnt>count\()|(?P<slen>string-length\()"
         r"|(?P<op>div|mod|[+\-*()]))"
     )
 
-    def __init__(self, s: str, position: int, total: int):
+    def __init__(self, s: str, position: int, total: int,
+                 el: Optional["Element"] = None):
         self.toks: List = []
         i = 0
         while i < len(s):
@@ -781,6 +818,20 @@ class _NumParse:
                 if s[i:].strip():
                     raise ValueError(s)
                 break
+            if m.group("cnt") or m.group("slen"):
+                # node-set functions need the element context; a numeric
+                # parse attempted without one (shouldn't happen) fails soft
+                if el is None:
+                    raise ValueError(s)
+                op = m.end() - 1  # index of the '(' consumed by the token
+                end = _balanced_arg(s, op)
+                arg = s[op + 1 : end - 1]
+                if m.group("cnt"):
+                    self.toks.append(len(_rel_nodes(el, arg)))
+                else:
+                    self.toks.append(len(_string_value_of(el, arg)))
+                i = end
+                continue
             i = m.end()
             if m.group("num"):
                 self.toks.append(int(m.group("num")))
@@ -839,9 +890,11 @@ class _NumParse:
         raise ValueError(f"bad numeric token: {t!r}")
 
 
-def _num_of(s: str, position: int, total: int) -> Optional[float]:
+def _num_of(
+    s: str, position: int, total: int, el: Optional["Element"] = None
+) -> Optional[float]:
     try:
-        p = _NumParse(s, position, total)
+        p = _NumParse(s, position, total, el)
         v = p.expr()
         return v if p.i == len(p.toks) and p.toks else None
     except (ValueError, ZeroDivisionError, IndexError):
@@ -851,27 +904,76 @@ def _num_of(s: str, position: int, total: int) -> Optional[float]:
 _NUM_CMP = re.compile(r"(!=|<=|>=|=|<|>)")
 
 
-def _numeric_pred(pred: str, position: int, total: int) -> Optional[bool]:
+def _numeric_pred(
+    pred: str, position: int, total: int, el: Optional["Element"] = None
+) -> Optional[bool]:
     """Arithmetic predicate: ``last() - 1``, ``position() mod 2 = 1``,
-    ``position() < last() - 2`` ... Returns None if not numeric."""
+    ``count(.//a) >= 2``, ``string-length(@href) > 10`` ... Returns None
+    if not numeric."""
     parts = _NUM_CMP.split(pred, maxsplit=1)
     if len(parts) == 3:
         lhs, cmp_op, rhs = parts
-        lv, rv = _num_of(lhs, position, total), _num_of(rhs, position, total)
+        lv = _num_of(lhs, position, total, el)
+        rv = _num_of(rhs, position, total, el)
         if lv is None or rv is None:
             return None
         return {
             "=": lv == rv, "!=": lv != rv, "<": lv < rv, ">": lv > rv,
             "<=": lv <= rv, ">=": lv >= rv,
         }[cmp_op]
-    v = _num_of(pred, position, total)
+    v = _num_of(pred, position, total, el)
+    # XPath 1.0 §2.4: ANY numeric predicate value is positional —
+    # [count(p)] ≡ [position() = count(p)] (lxml parity)
     return None if v is None else position == v
+
+
+_XP_SUBSTR = re.compile(
+    r"""^\s*substring\(\s*(?P<arg>\.|text\(\)|@[\w-]+)\s*,
+    \s*(?P<start>-?\d+)\s*(?:,\s*(?P<len>-?\d+)\s*)?\)
+    \s*(?P<neq>!)?=\s*(?P<q>["'])(?P<val>.*?)(?P=q)\s*$""",
+    re.VERBOSE,
+)
+
+
+def _string_value_of(el: Element, arg: str) -> str:
+    """String value of a predicate-function argument: '' / '.' → full text
+    content (node string value), 'text()' → first text node, '@attr',
+    'normalize-space(<any of those>)' → recursively normalized."""
+    a = arg.strip()
+    if a.startswith("normalize-space(") and a.endswith(")"):
+        return " ".join(_string_value_of(el, a[16:-1]).split())
+    if a in ("", "."):
+        return el.text_content()
+    if a == "text()":
+        return el.first_text()
+    if a.startswith("@"):
+        return el.attrib.get(a[1:]) or ""
+    raise ValueError(f"unsupported string argument: {arg!r}")
+
+
+def _xpath_substring(s: str, start: int, length: Optional[int]) -> str:
+    """XPath 1.0 substring(): 1-based start; out-of-range clamps (integer
+    subset — fractional positions would need the round-half-up dance)."""
+    begin = max(start - 1, 0)
+    if length is None:
+        return s[begin:]
+    end = start - 1 + length  # exclusive, in 0-based coords
+    return s[begin:end] if end > begin else ""
 
 
 def _pred_atom(el: Element, pred: str, position: int, total: int) -> bool:
     m = _XP_PRED.match(pred)
     if not m:
-        r = _numeric_pred(pred, position, total)
+        ms = _XP_SUBSTR.match(pred)
+        if ms:
+            v = _xpath_substring(
+                _string_value_of(el, ms.group("arg")),
+                int(ms.group("start")),
+                int(ms.group("len")) if ms.group("len") is not None else None,
+            )
+            eq = v == ms.group("val")
+            return not eq if ms.group("neq") else eq
+        r = _numeric_pred(pred, position, total, el)
         if r is not None:
             return r
         raise ValueError(f"unsupported XPath predicate: {pred!r}")

@@ -244,25 +244,33 @@ _ABP_TYPE_OPTIONS = {
     "other", "popup", "document", "doc", "all",
 }
 _ABP_DOC_TYPES = {"popup", "document", "doc", "all"}
+# context options evaluated against the referring page when the caller
+# provides a source-url column (reference passes source_url + request type
+# to braveblock — optional/utils.py:36-43)
+_ABP_CTX_OPTIONS = {"third-party", "3p", "first-party", "1p", "domain", "from"}
 _warned_abp_options: set = set()
 
 
 def _abp_parse_line(line: str):
-    """One raw ABP list line → ``(kind, pattern)``.
+    """One raw ABP list line → ``(kind, pattern, ctx)``.
 
     ``kind``: ``"block"`` / ``"except"`` / ``None`` (comment, header,
     element-hiding rule, or a rule whose type options exclude document
     requests). ``$``-option suffixes are parsed: resource-type options
-    decide applicability (document-request context); context options this
-    engine cannot evaluate (``third-party``, ``domain=``, ...) are ignored
-    with a once-per-option ``logging`` warning — NOT treated as part of the
-    match pattern (real EasyLists would silently mis-filter otherwise).
+    decide applicability (document-request context); CONTEXT options —
+    ``$third-party``/``$~third-party`` and ``$domain=a.com|~b.com`` — are
+    returned in ``ctx`` (a dict with ``third_party``/``domains``/
+    ``not_domains``) for :func:`adblock_filter` to evaluate against the
+    referring page when it has one. Other options this engine cannot
+    evaluate (``$csp``, ``$redirect``, ...) are ignored with a
+    once-per-option ``logging`` warning — NOT treated as part of the match
+    pattern (real EasyLists would silently mis-filter otherwise).
     """
     line = line.strip()
     if not line or line[0] in "![":  # comment / `[Adblock Plus 2.0]` header
-        return None, None
+        return None, None, None
     if re.search(r"#[@?$]?#", line):  # element hiding: ##, #@#, #?#, #$#
-        return None, None
+        return None, None, None
     kind = "block"
     if line.startswith("@@"):
         kind, line = "except", line[2:]
@@ -278,11 +286,27 @@ def _abp_parse_line(line: str):
         ):
             pattern, options = head, tail.split(",")
     pos_types = set()
+    third_party = None
+    domains: list = []
+    not_domains: list = []
     for opt in options:
         name = opt.lstrip("~").split("=", 1)[0].lower()
         if name in _ABP_TYPE_OPTIONS:
             if not opt.startswith("~"):
                 pos_types.add(name)
+        elif name in _ABP_CTX_OPTIONS:
+            if name in ("third-party", "3p"):
+                third_party = not opt.startswith("~")
+            elif name in ("first-party", "1p"):
+                third_party = opt.startswith("~")
+            else:  # domain= / from=
+                for d in opt.split("=", 1)[1].split("|"):
+                    d = d.strip().lower()
+                    if not d:
+                        continue
+                    (not_domains if d.startswith("~") else domains).append(
+                        d.lstrip("~")
+                    )
         elif name not in _warned_abp_options:
             _warned_abp_options.add(name)
             logging.getLogger(__name__).warning(
@@ -290,38 +314,122 @@ def _abp_parse_line(line: str):
                 "(no request context in frontier filtering)", name,
             )
     if pos_types and not (pos_types & _ABP_DOC_TYPES):
-        return None, None  # e.g. `$script,image`: cannot match a document
-    return kind, pattern
+        return None, None, None  # e.g. `$script,image`: cannot match a document
+    ctx = None
+    if third_party is not None or domains or not_domains:
+        ctx = {
+            "third_party": third_party,
+            "domains": tuple(domains),
+            "not_domains": tuple(not_domains),
+        }
+    return kind, pattern, ctx
 
 
-def adblock_filter(frontier: DataFrame, rules: list[str]) -> DataFrame:
+def _registrable(host):
+    """Registrable-domain approximation: the last two dot-labels (PSL-less
+    — exact for .com/.test/.org-style TLDs, conservative for multi-label
+    suffixes like .co.uk, which would need a public-suffix table; at that
+    point ship the PSL as a broadcast dimension). Single-label hosts map to
+    themselves."""
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(two == "", host).otherwise(two)
+
+
+def _ctx_condition(ctx: dict, source_col: str):
+    """JVM-side boolean: does this rule's ABP context apply to a row with
+    referring page ``source_col``? NULL source (seed rows, no referrer) is
+    first-party with no source host — ``$domain=`` rules never apply,
+    ``$third-party`` rules never apply, ``$~third-party`` rules do."""
+    src_host = F.lower(F.parse_url(F.col(source_col), F.lit("HOST")))
+    cond = F.lit(True)
+    if ctx["third_party"] is not None:
+        url_host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+        is_third = src_host.isNotNull() & (
+            _registrable(src_host) != _registrable(url_host)
+        )
+        cond = cond & (is_third if ctx["third_party"] else ~is_third)
+    hit = None
+    for d in ctx["domains"]:
+        m = (src_host == d) | src_host.endswith("." + d)
+        hit = m if hit is None else (hit | m)
+    if hit is not None:
+        cond = cond & F.coalesce(hit, F.lit(False))
+    for d in ctx["not_domains"]:
+        m = (src_host == d) | src_host.endswith("." + d)
+        cond = cond & ~F.coalesce(m, F.lit(False))
+    return cond
+
+
+def adblock_filter(
+    frontier: DataFrame, rules: list[str], source_col: str | None = None
+) -> DataFrame:
     """P4: drop URLs matching a blocklist (reference wraps ``braveblock``
-    with Brave/ABP lists — ``optional/utils.py:31-46``, blocked-url test
-    ``tests/test_bs4.py:340-371``).
+    with Brave/ABP lists plus source-url/request-type context —
+    ``optional/utils.py:31-46``, blocked-url test ``tests/test_bs4.py:
+    340-371``).
 
     ABP subset per :func:`_abp_to_regex` with list-file awareness per
     :func:`_abp_parse_line` (comments, element-hiding rules and
-    non-document-type rules dropped; unsupported ``$`` context options
-    ignored with a warning), plus ``@@rule`` exceptions (a URL matching any
-    exception survives even when a block rule matches). Compiled ONCE to
-    two JVM-side regex alternations — no Python and no joins in the
-    per-URL path, so the gate rides along inside the append-time
-    projection at any scale.
+    non-document-type rules dropped), plus ``@@rule`` exceptions (a URL
+    matching any exception survives even when a block rule matches).
+
+    Context options: when ``source_col`` names the referring-page-url
+    column, ``$third-party``/``$~third-party`` and ``$domain=a.com|~b.com``
+    are evaluated per-row against (url, source) — each distinct context
+    signature compiles to ONE regex alternation gated by one boolean
+    expression, so a list with thousands of same-context rules still
+    costs a handful of JVM-side predicates. Without ``source_col`` the
+    r3 fallback applies: the context is ignored with a once-per-option
+    warning and the pattern matches unconditionally (conservative
+    over-blocking, never silent mis-parsing). Everything stays inside the
+    append-time projection — no Python, no joins, at any scale.
     """
     if not rules:
         return frontier
     parsed = [_abp_parse_line(r) for r in rules]
-    blocks = [_abp_to_regex(p) for k, p in parsed if k == "block" and p]
-    excepts = [_abp_to_regex(p) for k, p in parsed if k == "except" and p]
-    out = frontier
-    if blocks:
-        blocked = F.col("url").rlike("|".join(f"({b})" for b in blocks))
-        if excepts:
-            blocked = blocked & ~F.col("url").rlike(
-                "|".join(f"({e})" for e in excepts)
-            )
-        out = out.filter(~blocked)
-    return out
+    # group rules by (kind, context signature); None-context group is the
+    # unconditional fast path
+    groups: dict = {}
+    for k, p, ctx in parsed:
+        if k is None or not p:
+            continue
+        if ctx is not None and source_col is None:
+            for name in (
+                (["third-party"] if ctx["third_party"] is not None else [])
+                + (["domain"] if (ctx["domains"] or ctx["not_domains"]) else [])
+            ):
+                if name not in _warned_abp_options:
+                    _warned_abp_options.add(name)
+                    logging.getLogger(__name__).warning(
+                        "adblock: ignoring unsupported ABP option $%s "
+                        "(no request context in frontier filtering)", name,
+                    )
+            ctx = None
+        sig = (
+            None
+            if ctx is None
+            else (ctx["third_party"], ctx["domains"], ctx["not_domains"])
+        )
+        groups.setdefault((k, sig), ([], ctx))[0].append(_abp_to_regex(p))
+
+    def _match(kind: str):
+        expr = None
+        for (k, _sig), (regexes, ctx) in groups.items():
+            if k != kind:
+                continue
+            m = F.col("url").rlike("|".join(f"({r})" for r in regexes))
+            if ctx is not None:
+                m = m & _ctx_condition(ctx, source_col)
+            expr = m if expr is None else (expr | m)
+        return expr
+
+    blocked = _match("block")
+    if blocked is None:
+        return frontier
+    excepted = _match("except")
+    if excepted is not None:
+        blocked = blocked & ~excepted
+    return frontier.filter(~blocked)
 
 
 def _budget_expr(round_seconds: int, max_per_host: Optional[int]):

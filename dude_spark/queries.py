@@ -612,6 +612,23 @@ def q_xpath_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     def modp(element):
         return {"t": "modp", "v": element.text_content()}
 
+    # r4 function tail (VERDICT r3 #7): count() node-set function —
+    # groups with a description have 2 descendant <p>, group 2 has 1
+    @app.select(xpath=".//div[@class='custom-group'][count(.//p) = 2]/a/p")
+    def cnt(element):
+        return {"t": "cnt", "v": element.text_content()}
+
+    # string-length(): single-digit child pages only (page-N.html = 11)
+    @app.select(xpath=".//a[@class='next'][string-length(@href) = 11]")
+    def slen(element):
+        return {"t": "slen", "v": element.text_content()}
+
+    # substring(): page-links that are NOT next-links → the self link
+    @app.select(xpath=".//a[substring(@href, 1, 5) = 'page-' and"
+                      " substring(@class, 1, 4) != 'next']")
+    def sub(element):
+        return {"t": "sub", "v": element.text_content()}
+
     ext = _extract_once(spark, sf_dir, app)
     return ext.filter(F.col("kind") == "data").select(
         "page_url",
@@ -646,6 +663,15 @@ FROM layout WHERE n_groups >= 2
 UNION ALL
 SELECT url, 'modp', 'Title ' || doc_id || '-' || k
 FROM ks WHERE k % 2 = 1
+UNION ALL
+SELECT url, 'cnt', 'Title ' || doc_id || '-' || k
+FROM ks WHERE k != 2
+UNION ALL
+SELECT url, 'slen', 'Next ' || c
+FROM (SELECT *, unnest(generate_series(1, 2)) AS c FROM layout)
+WHERE 2 * local + c < n_local AND length('page-' || (2 * local + c) || '.html') = 11
+UNION ALL
+SELECT url, 'sub', 'Self' FROM layout
 """
 
 
@@ -990,19 +1016,41 @@ FROM r
 
 def q_adblock_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 adblock URL filter (``optional/utils.py:31-46``): ``||domain^``
-    host anchor (incl. subdomains), ``/regex/`` rules, substring rules, and
-    an ``@@`` exception — compiled to JVM-side regex filters."""
+    host anchor (incl. subdomains), ``/regex/`` rules, substring rules, an
+    ``@@`` exception, and r4's context options against a referring-page
+    column — ``$third-party`` (registrable-domain compare vs source_url),
+    ``$domain=`` (source-host restriction) — all JVM-side expressions.
+
+    Synthesized referrers: even-numbered pages are linked first-party
+    (source = themselves), odd ones third-party (source = next host). So
+    the ``$third-party`` rule blocks only host-5's odd pages, the
+    ``$domain=host-7.test`` rule blocks only host-6's page-3 (its referrer
+    is host-7), and a ``$third-party`` rule on even pages blocks nothing."""
     from .politeness import adblock_filter
 
     pages = pages_df(spark, sf_dir)
-    frontier = pages.select("url")
+    frontier = pages.select(
+        "url",
+        F.when(F.col("local") % 2 == 0, F.col("url"))
+        .otherwise(
+            F.format_string(
+                "https://host-%d.test/page-%d.html",
+                ((F.col("host_id") + 1) % 20).cast("int"),
+                F.col("local").cast("int"),
+            )
+        )
+        .alias("source_url"),
+    )
     rules = [
         "||host-3.test^",
         "page-1.html",
         r"/page-2[0-9]\.html$/",
         r"@@/host-3\.test/page-0/",  # exception: host-3's root page survives
+        "||host-5.test^$third-party",     # odd (third-party-referred) pages only
+        "page-3.html$domain=host-7.test",  # only when referred FROM host-7
+        "page-6.html$third-party",        # even page: first-party → never blocks
     ]
-    return adblock_filter(frontier, rules).select("url")
+    return adblock_filter(frontier, rules, source_col="source_url").select("url")
 
 
 ORACLE_ADBLOCK = LAYOUT_CTE + """
@@ -1010,7 +1058,9 @@ SELECT url FROM layout
 WHERE NOT (
   (host_id = 3
    OR regexp_matches(url, 'page\\-1\\.html')
-   OR regexp_matches(url, 'page-2[0-9]\\.html$'))
+   OR regexp_matches(url, 'page-2[0-9]\\.html$')
+   OR (host_id = 5 AND local % 2 = 1)
+   OR (host_id = 6 AND local = 3))
   AND NOT regexp_matches(url, 'host-3\\.test/page-0')
 )
 """
@@ -1942,6 +1992,36 @@ FROM documents
 """
 
 
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup (VERDICT r3 #5): collapse a CHAIN-shaped
+    verified-pair table — doc i ≈ doc i+1 within each block of 10
+    consecutive doc_ids — to one representative per component via
+    graph.connected_components (alternating large-star/small-star).
+
+    The chain is the adversarial shape for the one-hop keep-min collapse
+    (``embedding_near_dup``): one-hop leaves every interior doc pointing at
+    its neighbor, i.e. 9 distinct "representatives" per block; the closure
+    maps the whole block to its minimum. Chain pairs are closed-form in
+    doc_id, so the oracle is exact: keep_doc_id = (doc_id // 10) * 10."""
+    from .textops.dedup import transitive_representatives
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    pairs = d.filter(F.col("doc_id") % 10 != 9).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1).alias("doc_b"),
+    )
+    return transitive_representatives(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+    )
+
+
+ORACLE_DEDUP_CC = """
+SELECT doc_id::BIGINT AS doc_id, ((doc_id // 10) * 10)::BIGINT AS keep_doc_id
+FROM documents WHERE doc_id < 500
+"""
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl/extract engine
@@ -1997,6 +2077,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": q_quality_gopher,
         "pagerank": q_pagerank,
         "url_canonical": q_url_canonical,
+        "dedup_cc": q_dedup_cc,
     }
 
 
@@ -2051,4 +2132,5 @@ def oracle_sql() -> Dict[str, str]:
         "quality_gopher": ORACLE_QUALITY_GOPHER,
         "pagerank": _oracle_pagerank(),
         "url_canonical": ORACLE_URL_CANONICAL,
+        "dedup_cc": ORACLE_DEDUP_CC,
     }

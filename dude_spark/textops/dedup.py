@@ -254,3 +254,26 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "jaccard")
     )
+
+
+def transitive_representatives(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Transitive-closure collapse of a (verified) near-dup PAIR table:
+    every document in any pair maps to its component's minimum id.
+
+    Output (doc_id, keep_doc_id) — one row per involved doc, including the
+    representatives themselves (keep_doc_id == doc_id).
+
+    This is the closure step a one-hop keep-min (``embedding_near_dup``,
+    ``exact_duplicates``) cannot do: on a chain A≈B≈C the one-hop collapse
+    keeps TWO representatives (C maps to B, which itself maps to A); the
+    closure keeps one. Runs on graph.connected_components — alternating
+    large-star/small-star, O(log n) hash-partitioned BSP rounds regardless
+    of chain length, no driver state beyond a convergence scalar.
+    """
+    from ..graph import connected_components
+
+    return connected_components(pairs, src_col=a_col, dst_col=b_col).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("keep_doc_id")
+    )

@@ -80,7 +80,7 @@ def test_unsupported_selectors_raise():
         xpath_select(root, "following-sibling::div")  # no leading / or //
     root2 = parse_html("<section><div><p>x</p></div></section>")
     with pytest.raises(ValueError):
-        xpath_select(root2, ".//div[count(p) > 1]")
+        xpath_select(root2, ".//div[name() = 'div']")  # node-name fn: unsupported
 
 
 def test_css_attribute_operators():
@@ -259,10 +259,16 @@ def test_xpath_numeric_predicates():
     assert t(xpath_select(
         root, ".//li[(position() = 1 or position() = last()) and @class]"
     )) == ["one", "five"]
+    # r4 function tail: numeric node-set functions compose with arithmetic
+    assert t(xpath_select(root, ".//li[string-length(text()) + 1 = 4]")) == [
+        "one", "two"]
+    # a bare numeric predicate value is positional (XPath 1.0 §2.4):
+    # [string-length(text())] ≡ [position() = string-length(text())]
+    assert t(xpath_select(root, ".//li[string-length(text())]")) == ["four"]
     # unsupported forms still raise loudly
     import pytest
     with pytest.raises(ValueError):
-        xpath_select(root, ".//li[string-length(text()) + 1]")
+        xpath_select(root, ".//li[lang('en')]")
 
 
 def test_xpath_following_preceding_axes():
@@ -283,3 +289,33 @@ def test_xpath_following_preceding_axes():
     # ancestors of c1's <p> are excluded; document order in the result
     assert t(xpath_select(root, ".//p[text()='c1']/preceding::div")) == [
         "a1a2", "b1"]
+
+
+def test_xpath_function_tail_count_substring():
+    """r4 (VERDICT #7): count(relpath), string-length(arg), substring(arg,
+    start[,len]) in predicates — the most common remaining lxml forms."""
+    root = parse_html(
+        '<html><body>'
+        '<div id="a"><p>one</p><p>two</p><a href="http://x/longerlink.html">L</a></div>'
+        '<div id="b"><p>solo</p></div>'
+        '<div id="c"></div>'
+        '</body></html>'
+    )
+    ids = lambda expr: [e.get("id") for e in xpath_select(root, expr)]
+    assert ids(".//div[count(p) = 2]") == ["a"]
+    assert ids(".//div[count(p) > 0]") == ["a", "b"]
+    assert ids(".//div[count(.//a) = 1]") == ["a"]
+    assert ids(".//div[count(p) = 0]") == ["c"]
+    assert ids(".//div[count(a) = 1 and count(p) = 2]") == ["a"]
+    assert ids(".//div[count(p) + 1 = 3]") == ["a"]
+    assert ids(".//div[string-length(normalize-space(.)) = 0]") == ["c"]
+    t = lambda expr: [e.tag for e in xpath_select(root, expr)]
+    assert t(".//a[string-length(@href) > 10]") == ["a"]
+    assert t(".//p[string-length(text()) = 4]") == ["p"]  # 'solo'
+    assert t(".//a[substring(@href, 1, 4) = 'http']") == ["a"]
+    assert ids(".//div[substring(@id, 1, 1) != 'a']") == ["b", "c"]
+    assert [
+        e.first_text() for e in xpath_select(root, ".//p[substring(text(), 2) = 'olo']")
+    ] == ["solo"]
+    # substring clamping: start past end → empty string
+    assert ids(".//div[substring(@id, 9) = '']") == ["a", "b", "c"]

@@ -158,7 +158,9 @@ def test_adblock_easylist_excerpt(spark, caplog):
     # warning is once-per-option
     assert ("third-party" in _warned_abp_options)
     # a '$' with a non-option tail stays in the pattern
-    assert _abp_parse_line("/landing$image.html") == ("block", "/landing$image.html")
+    assert _abp_parse_line("/landing$image.html") == (
+        "block", "/landing$image.html", None,
+    )
 
 
 def test_adblock_abp_grammar(spark):
@@ -290,3 +292,36 @@ def test_event_hook_kwargs_only_gets_no_payload(spark):
     )
     job.run(seeds()[:2])
     assert calls == [{}]
+
+
+def test_adblock_context_options(spark):
+    """$third-party / $~third-party / $domain= evaluated against a
+    referring-page column (reference feeds source_url to braveblock,
+    optional/utils.py:36-43). Seeds (NULL source) are first-party."""
+    from dude_spark.politeness import adblock_filter
+
+    df = spark.createDataFrame(
+        [
+            # (url, source_url)
+            ("https://ads.example/a.html", "https://news.test/index.html"),  # 3p
+            ("https://ads.example/b.html", "https://sub.ads.example/x"),     # 1p (same registrable)
+            ("https://ads.example/c.html", None),                            # seed
+            ("https://news.test/same.html", "https://news.test/index.html"), # 1p
+            ("https://trk.test/p.html", "https://partner.test/x"),           # domain= hit
+            ("https://trk.test/q.html", "https://other.test/x"),             # domain= miss
+            ("https://first.test/f.html", "https://first.test/index.html"),  # ~third-party hit
+        ],
+        "url string, source_url string",
+    )
+    rules = [
+        "||ads.example^$third-party",     # blocks a (3p), not b (1p) or c (seed)
+        "/p\\.html/$domain=partner.test|~x.partner.test",
+        "/f\\.html/$~third-party",        # first-party only
+    ]
+    out = {r["url"] for r in adblock_filter(df, rules, source_col="source_url").collect()}
+    assert out == {
+        "https://ads.example/b.html",
+        "https://ads.example/c.html",
+        "https://news.test/same.html",
+        "https://trk.test/q.html",
+    }
