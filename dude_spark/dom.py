@@ -53,6 +53,7 @@ tests/examples: ``.tag``, ``.attrib``, ``.get(name)``, ``.text``,
 from __future__ import annotations
 
 import re
+from functools import lru_cache as _lru_cache
 from html import unescape
 from typing import Iterator, List, Optional, Tuple, Union
 
@@ -493,6 +494,7 @@ def _parse_compound(s: str) -> _Compound:
         m = _CSS_TOKEN.match(s, pos)
         if not m:
             raise ValueError(f"unsupported CSS selector fragment: {s[pos:]!r}")
+        next_pos = m.end()
         if m.group("tag"):
             # HTML element/attribute names are ASCII case-insensitive
             # (lxml's HTML translator lowercases them); id/class values
@@ -514,6 +516,12 @@ def _parse_compound(s: str) -> _Compound:
         elif m.group("pseudo"):
             name = m.group("pseudo").lower()
             arg = m.group("parg")
+            if arg is None and next_pos < len(s) and s[next_pos] == "(":
+                # nested parens (e.g. :not(em:nth-child(2))): the token
+                # regex's [^()]* arg can't span them — rescan balanced
+                end = _balanced_arg(s, next_pos)
+                arg = s[next_pos + 1 : end - 1]
+                next_pos = end
             if name == "root":
                 comp.root = True
             elif name == "first-child":
@@ -540,7 +548,7 @@ def _parse_compound(s: str) -> _Compound:
                 comp.pseudos.append(("not", _parse_compound(arg.strip())))
             else:
                 raise ValueError(f"unsupported CSS pseudo-class: :{name}")
-        pos = m.end()
+        pos = next_pos
     return comp
 
 
@@ -709,6 +717,11 @@ class _Step:
 
 
 def _parse_xpath(expr: str) -> List[_Step]:
+    """Parse + VALIDATE one XPath location path. Predicates are grammar-
+    checked here, at parse time — an off-grammar predicate raises even when
+    no candidate node ever reaches it (lazy-only rejection would let a
+    typo'd selector silently return [] on pages where the step tag doesn't
+    occur). Cached: see :func:`_parsed_xpath`."""
     s = expr.strip()
     if s.startswith("."):
         s = s[1:]
@@ -743,10 +756,53 @@ def _parse_xpath(expr: str) -> List[_Step]:
                 k += 1
             preds.append(s[i + 1 : k - 1])
             i = k
+        for p in preds:
+            _validate_pred(p)
         steps.append(_Step(axis, name, preds))
     if not steps:
         raise ValueError(f"empty XPath: {expr!r}")
     return steps
+
+
+@_lru_cache(maxsize=2048)
+def _parse_xpath_cached(expr: str) -> List[_Step]:
+    """LRU-cached parse: the extraction kernel re-evaluates the same rule
+    selectors on every page, so parse+validate cost is paid once per
+    distinct expression. _Step lists are read-only after construction."""
+    return _parse_xpath(expr)
+
+
+def _validate_pred(pred: str) -> None:
+    """Grammar check of one predicate (same decomposition as _pred_eval:
+    or → and → parens/not → atom); raises ValueError on off-grammar."""
+    ors = _split_top(pred, "or")
+    if len(ors) > 1:
+        for p in ors:
+            _validate_pred(p)
+        return
+    ands = _split_top(pred, "and")
+    if len(ands) > 1:
+        for p in ands:
+            _validate_pred(p)
+        return
+    atom = pred.strip()
+    if atom.startswith("(") and atom.endswith(")"):
+        return _validate_pred(atom[1:-1])
+    if atom.startswith("not(") and atom.endswith(")"):
+        return _validate_pred(atom[4:-1])
+    if _XP_PRED.match(atom) or _XP_SUBSTR.match(atom):
+        return
+    if _numeric_valid(atom):
+        return
+    raise ValueError(f"unsupported XPath predicate: {atom!r}")
+
+
+def _numeric_valid(pred: str) -> bool:
+    parts = _NUM_CMP.split(pred, maxsplit=1)
+    exprs = [parts[0], parts[2]] if len(parts) == 3 else [pred]
+    return all(
+        _num_of(e, 1, 1, el=None, validate=True) is not None for e in exprs
+    )
 
 
 def _pred_eval(el: Element, pred: str, position: int, total: int) -> bool:
@@ -809,7 +865,7 @@ class _NumParse:
     )
 
     def __init__(self, s: str, position: int, total: int,
-                 el: Optional["Element"] = None):
+                 el: Optional["Element"] = None, validate: bool = False):
         self.toks: List = []
         i = 0
         while i < len(s):
@@ -819,14 +875,20 @@ class _NumParse:
                     raise ValueError(s)
                 break
             if m.group("cnt") or m.group("slen"):
-                # node-set functions need the element context; a numeric
-                # parse attempted without one (shouldn't happen) fails soft
-                if el is None:
-                    raise ValueError(s)
                 op = m.end() - 1  # index of the '(' consumed by the token
                 end = _balanced_arg(s, op)
                 arg = s[op + 1 : end - 1]
-                if m.group("cnt"):
+                if validate:
+                    # syntax-only: check the argument grammar, value := 1
+                    if m.group("cnt"):
+                        p = arg.strip()
+                        _parse_xpath(p if p.startswith((".", "/")) else "./" + p)
+                    elif not _valid_strarg(arg):
+                        raise ValueError(s)
+                    self.toks.append(1)
+                elif el is None:
+                    raise ValueError(s)
+                elif m.group("cnt"):
                     self.toks.append(len(_rel_nodes(el, arg)))
                 else:
                     self.toks.append(len(_string_value_of(el, arg)))
@@ -890,11 +952,21 @@ class _NumParse:
         raise ValueError(f"bad numeric token: {t!r}")
 
 
+def _valid_strarg(a: str) -> bool:
+    """Grammar of string-function arguments: '', '.', 'text()', '@attr',
+    or normalize-space(<any of those>)."""
+    a = a.strip()
+    if a.startswith("normalize-space(") and a.endswith(")"):
+        return _valid_strarg(a[16:-1])
+    return a in ("", ".", "text()") or re.fullmatch(r"@[\w-]+", a) is not None
+
+
 def _num_of(
-    s: str, position: int, total: int, el: Optional["Element"] = None
+    s: str, position: int, total: int, el: Optional["Element"] = None,
+    validate: bool = False,
 ) -> Optional[float]:
     try:
-        p = _NumParse(s, position, total, el)
+        p = _NumParse(s, position, total, el, validate)
         v = p.expr()
         return v if p.i == len(p.toks) and p.toks else None
     except (ValueError, ZeroDivisionError, IndexError):
@@ -1084,7 +1156,7 @@ def xpath_select(scope: Element, expr: str):
         for r in results:
             flat.extend(r)
         return flat
-    steps = _parse_xpath(expr)
+    steps = _parse_xpath_cached(expr)
     nodes: List[Element] = [scope]
     for step in steps:
         if step.name.startswith("@"):
