@@ -48,10 +48,10 @@ from .frontier import (
 )
 from .politeness import (
     INLINE_ROBOTS_MAX,
-    adblock_filter,
+    adblock_blocked_expr,
     compile_robots,
     fast_budget_rank,
-    inline_robots_gate,
+    inline_robots_cols,
     robots_gate,
 )
 
@@ -59,6 +59,12 @@ RESULT_SCHEMA = EXTRACT_SCHEMA + ", depth int, seq bigint, round int"
 # the crawl frontier carries crawl_delay, attached once at append time by the
 # robots gate, so the per-round politeness budget needs no robots join
 CRAWL_COLS = FRONTIER_COLS + ["crawl_delay"]
+# DDL twin of CRAWL_COLS — schema of driver-built LocalRelation frontiers
+# (the hybrid small-round path, CrawlConfig.driver_frontier_max)
+CRAWL_DDL = (
+    "url string, url_hash bigint, host string, depth int, priority int, "
+    "seq bigint, method string, status string, round int, crawl_delay int"
+)
 
 
 @dataclass
@@ -123,6 +129,20 @@ class CrawlConfig:
     # round instead of a full seen reshuffle every round — at 10^10 URLs
     # the per-round reshuffle would dominate the whole round.
     seen_compact_every: int = 8
+    # Hybrid frontier (the per-round scheduling-floor fix): when a round's
+    # post-anti-join candidate set fits under this cap, the driver collects
+    # the candidates (already canonicalized, gated, and seen-filtered BY
+    # SPARK — no second implementation of any URL semantics) and performs
+    # the within-batch dedupe + dense seq numbering locally; the next
+    # frontier is then a LocalRelation. A LocalRelation broadcast-builds
+    # with NO Spark job (driver-side collect of itself), needs no
+    # checkpoint, and no numbering shuffle/python stage — the round's
+    # machinery collapses to ONE job (extract → link pipeline → broadcast
+    # anti-join → collect). Wide rounds (cap exceeded, detected by a
+    # limit-guarded collect) fall back to the fully distributed path, which
+    # is the 100 TB regime: there the per-round floor amortizes into round
+    # width and the distributed numbering is the right shape. 0 disables.
+    driver_frontier_max: int = 65536
 
 
 @dataclass
@@ -141,6 +161,29 @@ class CrawlResult:
     trace: DataFrame              # fetched URLs: url, depth, seq, round (FIFO order = seq)
     seen: DataFrame               # url, url_hash
     metrics: List[RoundMetrics] = field(default_factory=list)
+
+
+def _local_relation(spark: SparkSession, pdf, ddl: str) -> DataFrame:
+    """True LocalRelation (``LocalTableScan``) from a pandas frame.
+
+    The list-based ``createDataFrame`` path parallelizes to a pickled
+    Python RDD — every later scan of it (broadcast builds, the fetch join)
+    then launches Python-worker tasks, which is exactly the per-round
+    overhead the hybrid frontier exists to remove. The Arrow path converts
+    driver-side into JVM rows: scans are JVM-only and a broadcast of it
+    builds with NO Spark job. The Arrow batch size is raised for the one
+    conversion (the session default of 128 rows exists for ~150 KB page
+    payloads, not 10-column frontier rows; at 128 a 15k-row frontier would
+    shred into ~120 batches/partitions)."""
+    conf = spark.conf
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = conf.get(key, None)
+    conf.set(key, "8388608")
+    try:
+        return spark.createDataFrame(pdf, ddl)
+    finally:
+        if old is not None:
+            conf.set(key, old)
 
 
 def assign_global_seq(
@@ -215,7 +258,12 @@ def assign_global_seq(
     # lazy checkpoint: the sizing collect below is the materializing action —
     # one job instead of an eager-checkpoint job plus a count job. The
     # numbering pass then reads the stored blocks with pinned partitioning.
+    _dbg = bool(os.environ.get("DUDE_SPARK_DEBUG_TIMING"))
+    _ts = time.time()
     parted = parted.localCheckpoint(eager=False)
+    if _dbg:
+        print(f"    [seq_plan] {time.time() - _ts:.2f}s", flush=True)
+        _ts = time.time()
 
     host_counts: Optional[dict] = None
     if count_hosts:
@@ -238,6 +286,8 @@ def assign_global_seq(
             r["_rid"]: r["n"]
             for r in parted.groupBy("_rid").agg(F.count("*").alias("n")).collect()
         }
+    if _dbg:
+        print(f"    [seq_job] {time.time() - _ts:.2f}s", flush=True)
     offsets = {}
     acc = start
     for rid in sorted(sizes):
@@ -382,6 +432,7 @@ class CrawlJob:
                 delay_by_host = {r["host"]: int(r["crawl_delay"]) for r in delayed}
 
         allowed_df = None
+        _gate_cache: dict = {}
 
         def gate_append(df: DataFrame) -> DataFrame:
             """Static per-URL gates, applied ONCE when a URL enters the
@@ -391,23 +442,50 @@ class CrawlJob:
             request time (base.py:364-391, optional/utils.py:31-46); with a
             static robots/blocklist dimension the fetched set and order are
             identical (a disallowed URL contributes nothing to the trace or
-            the expansion in either model). Attaches ``crawl_delay``."""
+            the expansion in either model). Attaches ``crawl_delay``.
+
+            The gate Column trees (host isin, ABP regex alternations, the
+            constant-folded robots CASE/WHEN chains) are built ONCE and
+            reused every round: unresolved Columns are input-independent
+            templates, and rebuilding them is hundreds of py4j round-trips
+            per round — a measured slice of the per-round floor."""
             nonlocal allowed_df
-            if len(allowed) <= INLINE_ROBOTS_MAX:
-                out = df.filter(F.col("host").isin(allowed))
+            key = "source_url" in df.columns
+            if key not in _gate_cache:
+                c: dict = {}
+                c["allowed"] = (
+                    F.col("host").isin(allowed)
+                    if len(allowed) <= INLINE_ROBOTS_MAX
+                    else None
+                )
+                c["abp"] = (
+                    adblock_blocked_expr(
+                        cfg.adblock_rules, source_col="source_url" if key else None
+                    )
+                    if cfg.adblock_rules
+                    else None
+                )
+                c["robots"] = (
+                    inline_robots_cols(robots_rows)
+                    if robots_rows is not None
+                    else None
+                )
+                _gate_cache[key] = c
+            c = _gate_cache[key]
+            if c["allowed"] is not None:
+                out = df.filter(c["allowed"])
             else:
                 if allowed_df is None:
                     allowed_df = spark.createDataFrame(
                         [(h,) for h in allowed], "host string"
                     )
                 out = allowed_domains_filter(df, F.broadcast(allowed_df))
-            if cfg.adblock_rules:
-                out = adblock_filter(
-                    out, cfg.adblock_rules,
-                    source_col="source_url" if "source_url" in df.columns else None,
+            if c["abp"] is not None:
+                out = out.filter(~c["abp"])
+            if c["robots"] is not None:
+                out = out.filter(c["robots"][0]).withColumn(
+                    "crawl_delay", c["robots"][1]
                 )
-            if robots_rows is not None:
-                out = inline_robots_gate(out, robots_rows)
             elif compiled_robots is not None:
                 out = robots_gate(out, compiled_robots)
             else:
@@ -429,6 +507,11 @@ class CrawlJob:
         delayed_set = set(delayed_hosts)
 
         start_round = 0
+        # Driver-side pandas mirror of the seen set — live while the ENTIRE
+        # seen history is driver-visible (local seeds + only small-mode
+        # rounds so far); lets compaction be a pandas concat instead of a
+        # repartition+checkpoint job. None once any distributed delta enters.
+        seen_local_pdfs: Optional[list] = None
         if resume and (r := self.last_committed_round()) >= 0:
             frontier = spark.read.parquet(self._round_dir("frontier", r))
             if "priority" not in frontier.columns:  # pre-priority state dirs
@@ -451,7 +534,28 @@ class CrawlJob:
                 seed_frontier(spark, seed_urls, self.scraper.requests)
                 .withColumn("source_url", F.lit(None).cast("string"))
             ).select(*CRAWL_COLS)
-            frontier = self._persist(frontier, "frontier", -1)
+            if (
+                not cfg.state_dir
+                and cfg.driver_frontier_max > 0
+                and len(seed_urls) + len(list(self.scraper.requests or []))
+                <= cfg.driver_frontier_max
+            ):
+                # hybrid path seed: collect the (Spark-gated) seed frontier
+                # once and re-enter it as a LocalRelation — then round 0's
+                # fetch broadcast AND the seen-set broadcast build with no
+                # Spark job while the crawl stays in the small-round regime
+                import pandas as pd
+
+                seed_rows = [tuple(r) for r in frontier.collect()]
+                if seed_rows:
+                    seed_pdf = pd.DataFrame(seed_rows, columns=CRAWL_COLS)
+                    frontier = _local_relation(spark, seed_pdf, CRAWL_DDL)
+                    seen_local_pdfs = [seed_pdf[["url", "url_hash"]]]
+                else:
+                    frontier = spark.createDataFrame([], CRAWL_DDL)
+                    seen_local_pdfs = []
+            else:
+                frontier = self._persist(frontier, "frontier", -1)
             seen = frontier.select("url", "url_hash")
             if delayed_set:
                 # seed host counts are known driver-side (pre-gate upper bound)
@@ -469,6 +573,24 @@ class CrawlJob:
             codec=cfg.page_codec,
         )
         result_schema = EXTRACT_SCHEMA + ", depth int, seq bigint"
+
+        # Hoisted per-round expression templates (see gate_append note:
+        # unresolved Columns are input-independent; rebuilding them every
+        # round is pure py4j overhead on the per-round floor).
+        _kind_link = F.col("kind") == "link"
+        _link_select = [
+            canonicalize(F.col("link")).alias("url"),
+            # referring page → ABP $third-party/$domain= context
+            F.col("url").alias("source_url"),
+            (F.col("depth") + 1).alias("depth"),
+            F.col("seq").alias("parent_seq"),
+            F.col("link_seq"),
+        ]
+        _prio_col = (
+            F.expr(cfg.priority_expr).cast("int")
+            if cfg.priority_expr
+            else F.lit(0)
+        )
 
         results_parts: List[DataFrame] = []
         trace_parts: List[DataFrame] = []
@@ -595,11 +717,19 @@ class CrawlJob:
             extracted = fetched.select("url", "html", "depth", "seq").mapInPandas(
                 extract_it, schema=result_schema
             )
-            # lazy checkpoint: materializes inside the SAME job as the link/
-            # candidate pipeline below (one barrier instead of two); the
-            # parse still runs exactly once — later readers hit the
-            # checkpointed partitions
-            extracted = self._persist(extracted, "extracted", rnd, eager=False)
+            # Memory mode: CACHE, don't checkpoint. persist() is plan-lazy —
+            # no per-round driver-side .rdd planning pass (measured 270-430ms
+            # of the round floor); the round's one materializing job builds
+            # the cache and later readers (results, the link pipeline) hit
+            # it. Lineage stays bounded: the plan roots at this round's
+            # frontier leaf (LocalRelation or checkpoint RDD), never at a
+            # previous round. Recompute-on-eviction is safe (deterministic
+            # kernel over stable inputs). state_dir mode keeps the durable
+            # parquet commit.
+            if cfg.state_dir:
+                extracted = self._persist(extracted, "extracted", rnd, eager=False)
+            else:
+                extracted = extracted.persist()
             _t('extract_ckpt', _since)
             self.scraper.run_event("post-setup", extracted)
 
@@ -649,55 +779,103 @@ class CrawlJob:
             # follow_url() rows (reference base.py:358-359) must reach the
             # frontier in either mode. With no link rows the expansion is one
             # cheap empty-input sizing job.
-            links = (
-                extracted.filter(F.col("kind") == "link")
-                .select(
-                    canonicalize(F.col("link")).alias("url"),
-                    # referring page → ABP $third-party/$domain= context
-                    F.col("url").alias("source_url"),
-                    (F.col("depth") + 1).alias("depth"),
-                    F.col("seq").alias("parent_seq"),
-                    F.col("link_seq"),
-                )
-            )
+            links = extracted.filter(_kind_link).select(*_link_select)
             links = with_url_meta(links)
             links = gate_append(links)
-            links = links.withColumn(
-                "priority",
-                F.expr(cfg.priority_expr).cast("int")
-                if cfg.priority_expr
-                else F.lit(0),
-            )
-            if cfg.dedupe == "seen":
-                use_broadcast = seen_n <= cfg.broadcast_seen_max
-                if cfg.bloom_bits and not use_broadcast and seen_bloom is None:
-                    # first over-threshold round: build the sidecar from the
-                    # full seen set once; deltas fold in per round below
-                    seen_bloom = bloom_words(
-                        seen, m_bits=cfg.bloom_bits, k=cfg.bloom_k
-                    ).localCheckpoint(eager=False)
-                cands = dedupe_candidates(
-                    links, seen, order_cols=("parent_seq", "link_seq"),
-                    broadcast_seen=use_broadcast,
-                    bloom=seen_bloom if not use_broadcast else None,
-                    bloom_bits=cfg.bloom_bits or (1 << 23),
-                    bloom_k=cfg.bloom_k,
+            links = links.withColumn("priority", _prio_col)
+            _t('link_plan', _since)
+
+            # Hybrid small-round path (cfg.driver_frontier_max): collect the
+            # post-anti-join candidates under a limit guard and number them
+            # driver-side. Everything URL-semantic — canonicalize, gates,
+            # hashing, the seen anti-join itself — was computed BY SPARK in
+            # the one collect job; the driver only sorts by (parent_seq,
+            # link_seq), keeps the first row per url_hash (identical to
+            # dedupe_candidates' window semantics: the anti-join removes
+            # whole url_hash groups, so it commutes with per-group
+            # keep-first) and assigns the dense seq. The next frontier is
+            # then a LocalRelation: it broadcast-builds into the fetch join
+            # with NO Spark job, needs no checkpoint, and the round's
+            # machinery collapses to ONE job. Wide rounds (limit overflow)
+            # fall back to the distributed path below — the 100 TB regime,
+            # where the per-round floor amortizes into round width anyway.
+            local_new: Optional[list] = None
+            new_frontier = None
+            n_new = 0
+            new_host_counts: Optional[dict] = None
+            if (
+                cfg.driver_frontier_max > 0
+                and cfg.dedupe == "seen"
+                and seen_n <= cfg.broadcast_seen_max
+            ):
+                anti_plan = links.join(
+                    F.broadcast(seen.select("url_hash")),
+                    on="url_hash",
+                    how="left_anti",
+                ).limit(cfg.driver_frontier_max + 1)
+                _t('cand_plan', _since)
+                cand_rows = anti_plan.collect()
+                _t('cand_collect', _since)
+                if len(cand_rows) <= cfg.driver_frontier_max:
+                    cand_rows.sort(key=lambda r: (r["parent_seq"], r["link_seq"]))
+                    local_new = []
+                    batch_hashes: set = set()
+                    if cfg.max_per_host is None and delayed_hosts:
+                        new_host_counts = {}
+                    for r in cand_rows:
+                        h = r["url_hash"]
+                        if h in batch_hashes:
+                            continue
+                        batch_hashes.add(h)
+                        local_new.append((
+                            r["url"], h, r["host"], r["depth"], r["priority"],
+                            max_seq + 1 + len(local_new), "GET", "pending",
+                            rnd + 1, r["crawl_delay"],
+                        ))
+                        if new_host_counts is not None and r["host"] in delayed_set:
+                            new_host_counts[r["host"]] = (
+                                new_host_counts.get(r["host"], 0) + 1
+                            )
+                    n_new = len(local_new)
+                    if n_new:
+                        import pandas as pd
+
+                        new_frontier = _local_relation(
+                            spark,
+                            pd.DataFrame(local_new, columns=CRAWL_COLS),
+                            CRAWL_DDL,
+                        )
+            if local_new is None:
+                if cfg.dedupe == "seen":
+                    use_broadcast = seen_n <= cfg.broadcast_seen_max
+                    if cfg.bloom_bits and not use_broadcast and seen_bloom is None:
+                        # first over-threshold round: build the sidecar from
+                        # the full seen set once; deltas fold in per round
+                        seen_bloom = bloom_words(
+                            seen, m_bits=cfg.bloom_bits, k=cfg.bloom_k
+                        ).localCheckpoint(eager=False)
+                    cands = dedupe_candidates(
+                        links, seen, order_cols=("parent_seq", "link_seq"),
+                        broadcast_seen=use_broadcast,
+                        bloom=seen_bloom if not use_broadcast else None,
+                        bloom_bits=cfg.bloom_bits or (1 << 23),
+                        bloom_k=cfg.bloom_k,
+                    )
+                else:
+                    cands = links
+                # key_bounds: every link's parent_seq is a fetch_set seq,
+                # which lies in [frontier_lo, max_seq] — so assign_global_seq
+                # range-splits deterministically with NO sampling pass. Its
+                # sizing aggregation is then the round's ONE materializing
+                # job (extraction + link pipeline + dedupe + shuffle +
+                # counts), and no cands checkpoint is needed: the pipeline
+                # is planned and evaluated exactly once.
+                new_frontier, n_new, new_host_counts = assign_global_seq(
+                    cands, ["parent_seq", "link_seq"], start=max_seq + 1,
+                    rows_hint=n_fetched * 4,
+                    count_hosts=delayed_hosts if cfg.max_per_host is None else None,
+                    key_bounds=(frontier_lo, max_seq),
                 )
-            else:
-                cands = links
-            # key_bounds: every link's parent_seq is a fetch_set seq, which
-            # lies in [frontier_lo, max_seq] — so assign_global_seq range-
-            # splits deterministically with NO sampling pass. Its sizing
-            # aggregation is then the round's ONE materializing job
-            # (extraction + link pipeline + dedupe + shuffle + counts), and
-            # no cands checkpoint is needed: the pipeline is planned and
-            # evaluated exactly once.
-            new_frontier, n_new, new_host_counts = assign_global_seq(
-                cands, ["parent_seq", "link_seq"], start=max_seq + 1,
-                rows_hint=n_fetched * 4,
-                count_hosts=delayed_hosts if cfg.max_per_host is None else None,
-                key_bounds=(frontier_lo, max_seq),
-            )
             _t('assign_seq', _since)
             # next round's politeness pre-check: the new frontier is exactly
             # these candidates (+ deferred rows, whose per-host counts we do
@@ -715,15 +893,15 @@ class CrawlJob:
                 except Exception:
                     pass
             retired_handles.clear()
-            if n_new:
+            if local_new is None:
+                # distributed path: attach the static columns the driver-side
+                # path already embedded in its LocalRelation rows
                 new_frontier = (
                     new_frontier.withColumn("method", F.lit("GET"))
                     .withColumn("status", F.lit("pending"))
                     .withColumn("round", F.lit(rnd + 1))
                     .select(*CRAWL_COLS)
-                )
-            else:
-                new_frontier = None
+                ) if n_new else None
             prev_max = max_seq
             max_seq += n_new
             seen_n += n_new
@@ -732,10 +910,13 @@ class CrawlJob:
                 # exactly this round's delta (tightens the range-split bound)
                 frontier_lo = prev_max + 1
 
+            frontier_local = False
             if deferred is None and new_frontier is None:
                 frontier = spark.createDataFrame([], frontier.schema)
+                frontier_local = True
             elif deferred is None:
                 frontier = new_frontier
+                frontier_local = local_new is not None
             elif new_frontier is None:
                 frontier = deferred
             else:
@@ -744,8 +925,10 @@ class CrawlJob:
             # sampling pass, whose fetch join reads this frontier)
             # materializes the checkpoint — no dedicated per-round barrier.
             # state_dir mode stays an eager parquet commit (durability is
-            # the point there).
-            frontier = self._persist(frontier, "frontier", rnd, eager=False)
+            # the point there). A LocalRelation frontier (driver-side small
+            # round) needs no lineage truncation at all in memory mode.
+            if cfg.state_dir or not frontier_local:
+                frontier = self._persist(frontier, "frontier", rnd, eager=False)
             _t('frontier_ckpt', _since)
             if cfg.dedupe == "seen" and n_new:
                 # NOT gated on cfg.follow_urls: frontier expansion runs in
@@ -760,25 +943,55 @@ class CrawlJob:
                 # compact into one url_hash-partitioned base — amortized
                 # O(seen/k) movement per round, vs the former full seen
                 # reshuffle every round (a scale-killer at 10^10 URLs).
-                delta = (
-                    frontier.filter(F.col("seq") > prev_max)
-                    .select("url", "url_hash")
-                    .localCheckpoint(eager=False)
-                )
-                h = _ckpt_rdd_handle(delta)
-                if h is not None:
-                    live_handles.append(h)
+                if local_new is not None:
+                    # driver-side round: the delta rows are already local —
+                    # a LocalRelation delta needs no checkpoint, no handle
+                    import pandas as pd
+
+                    delta_pdf = pd.DataFrame(
+                        {
+                            "url": [t[0] for t in local_new],
+                            "url_hash": [t[1] for t in local_new],
+                        }
+                    )
+                    delta = _local_relation(
+                        spark, delta_pdf, "url string, url_hash bigint"
+                    )
+                    if seen_local_pdfs is not None:
+                        seen_local_pdfs.append(delta_pdf)
+                else:
+                    delta = (
+                        frontier.filter(F.col("seq") > prev_max)
+                        .select("url", "url_hash")
+                        .localCheckpoint(eager=False)
+                    )
+                    h = _ckpt_rdd_handle(delta)
+                    if h is not None:
+                        live_handles.append(h)
+                    # a distributed delta left the driver-visible regime
+                    seen_local_pdfs = None
                 seen_deltas.append(delta)
                 seen = seen_base
                 for d in seen_deltas:
                     seen = seen.unionByName(d)
                 if len(seen_deltas) >= cfg.seen_compact_every:
-                    seen = seen.repartition(
-                        cfg.seen_partitions, "url_hash"
-                    ).localCheckpoint(eager=False)
-                    nh = _ckpt_rdd_handle(seen)
-                    retired_handles.extend(live_handles)
-                    live_handles = [nh] if nh is not None else []
+                    if seen_local_pdfs is not None:
+                        # all parts driver-visible: compaction is a pandas
+                        # concat → one fresh LocalRelation, zero Spark jobs
+                        import pandas as pd
+
+                        merged = pd.concat(seen_local_pdfs, ignore_index=True)
+                        seen_local_pdfs = [merged]
+                        seen = _local_relation(
+                            spark, merged, "url string, url_hash bigint"
+                        )
+                    else:
+                        seen = seen.repartition(
+                            cfg.seen_partitions, "url_hash"
+                        ).localCheckpoint(eager=False)
+                        nh = _ckpt_rdd_handle(seen)
+                        retired_handles.extend(live_handles)
+                        live_handles = [nh] if nh is not None else []
                     seen_base, seen_deltas = seen, []
                 if seen_bloom is not None:
                     # fold the round's delta into the sidecar (word-level

@@ -131,6 +131,16 @@ def inline_robots_gate(df: DataFrame, robots_rows, url_col: str = "url") -> Data
     (millions of hosts) use the broadcast-join :func:`robots_gate` instead —
     the crawl loop picks automatically by dim size.
     """
+    can_fetch, delay = inline_robots_cols(robots_rows, url_col)
+    return df.filter(can_fetch).withColumn("crawl_delay", delay)
+
+
+def inline_robots_cols(robots_rows, url_col: str = "url"):
+    """The constant-folded (can_fetch, crawl_delay) Column pair behind
+    :func:`inline_robots_gate`. Unresolved Columns are input-independent
+    templates — the crawl loop builds them ONCE and reuses them every round
+    (rebuilding a many-host CASE/WHEN chain is hundreds of py4j round-trips
+    per round, a measurable slice of the per-round scheduling floor)."""
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     host = F.col("host")
 
@@ -160,7 +170,7 @@ def inline_robots_gate(df: DataFrame, robots_rows, url_col: str = "url") -> Data
             )
     delay = F.lit(0) if delay is None else delay.otherwise(F.lit(0))
 
-    return df.filter(can_fetch).withColumn("crawl_delay", delay)
+    return can_fetch, delay
 
 
 def _rank_order(df: DataFrame):
@@ -386,6 +396,17 @@ def adblock_filter(
     """
     if not rules:
         return frontier
+    blocked = adblock_blocked_expr(rules, source_col)
+    if blocked is None:
+        return frontier
+    return frontier.filter(~blocked)
+
+
+def adblock_blocked_expr(rules: list[str], source_col: str | None = None):
+    """The blocked-URL predicate Column behind :func:`adblock_filter`
+    (None ⇒ no parseable block rules). Exposed so the crawl loop can build
+    the (potentially large) regex-alternation expression tree once and
+    reuse it every round — unresolved Columns are input-independent."""
     parsed = [_abp_parse_line(r) for r in rules]
     # group rules by (kind, context signature); None-context group is the
     # unconditional fast path
@@ -425,11 +446,11 @@ def adblock_filter(
 
     blocked = _match("block")
     if blocked is None:
-        return frontier
+        return None
     excepted = _match("except")
     if excepted is not None:
         blocked = blocked & ~excepted
-    return frontier.filter(~blocked)
+    return blocked
 
 
 def _budget_expr(round_seconds: int, max_per_host: Optional[int]):

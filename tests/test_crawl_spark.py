@@ -369,3 +369,34 @@ def test_seen_compaction_cadence_invariant(spark):
             )
         )
     assert outs[0] == outs[1]
+
+
+def test_hybrid_frontier_parity(spark, crawl_result):
+    """The driver-resident small-round path (CrawlConfig.driver_frontier_max)
+    must yield byte-identical traces and result counts to the fully
+    distributed path — including mid-crawl transitions: cap=6 forces wide
+    rounds to overflow back to distributed numbering (and flips the seen
+    mirror off) while narrow rounds stay driver-side."""
+    res_default, pages = crawl_result
+    base_trace = [
+        (r["url"], r["depth"], r["seq"])
+        for r in res_default.trace.orderBy("seq").collect()
+    ]
+    base_rows = res_default.results.count()
+    base_seen = res_default.seen.count()
+    for cap in (0, 6):
+        job = CrawlJob(
+            spark, make_scraper(), pages, robots=robots_df(spark),
+            config=CrawlConfig(
+                follow_urls=True, max_rounds=40, round_seconds=3600,
+                driver_frontier_max=cap,
+            ),
+        )
+        res = job.run(seeds())
+        trace = [
+            (r["url"], r["depth"], r["seq"])
+            for r in res.trace.orderBy("seq").collect()
+        ]
+        assert trace == base_trace, f"trace diverged at driver_frontier_max={cap}"
+        assert res.results.count() == base_rows
+        assert res.seen.count() == base_seen
