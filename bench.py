@@ -277,40 +277,44 @@ def run_suite(master: str | None = None) -> dict:
 
 
 def run_scaling() -> None:
-    """Same crawl, same input, three parallelism levels → BENCH/BASELINE.md.
+    """Same crawl, same input, two N→4N pairs → BENCH/BASELINE.md.
 
     The north_rule criterion is N → 4N EXECUTORS (separate machines, 4× the
     memory bandwidth). This sandbox has one 32-core box, so the proxy runs
     local[2] → local[8] as the primary N→4N pair — both legs inside the
     region where one socket's memory bandwidth is not the binding resource —
     and local[8] → local[32] as a secondary pair that deliberately drives
-    into the single-box bandwidth wall (documented with a no-Spark
-    multiprocessing control in BENCH/BASELINE.md).
+    into the single-box bandwidth wall.
+
+    **Window protocol (r4).** The host is oversubscribed and DRIFTS:
+    single-thread throughput swings 2-3× between windows minutes apart
+    (floating vCPUs, no steal-time signal), and repeated no-Spark control
+    runs across r2/r3 sessions measured 2→8 "efficiency" anywhere in
+    {0.65 … 1.22} — the absolute ≥0.8 gate is not reliably measurable on
+    this box. So every published ratio is computed strictly WITHIN one
+    window: a window = [engine hi-leg, engine lo-leg, no-Spark control at
+    the same two levels] run back-to-back, and the load-bearing statistic
+    is the MEDIAN over windows of the engine's efficiency and of the
+    engine/control ratio (the control prices what the hardware itself
+    delivers for that window; a dedicated cluster's ratio ≈ engine eff
+    alone). Max over windows is reported only as an upper bound. No number
+    from one window is ever divided by a number from another.
 
     Heavier corpus than the headline bench (SPARK_GRAFT_SCALING_REPLICATE /
     SPARK_GRAFT_SCALING_PAD): the criterion measures the parallel fraction,
     so per-round parse work must dominate the fixed BSP barrier — at
     warehouse scale rounds are millions of pages and the barrier is noise.
     """
-    results = {}
     # replicate=8 (not r1's 24): at pad=450 the 24x corpus is ~72 GB
     # uncompressed — past the in-memory columnar cache of any leg's 72 GB
-    # heap, so r1's legs silently thrashed uncompressed cache spill (and
-    # today the same config OOMs outright). 8x (~24 GB) keeps the page
-    # weight and the breadth shape while staying memory-resident at every
-    # parallelism — the pair then measures the ENGINE, not the disk.
+    # heap, so r1's legs silently thrashed uncompressed cache spill. 8x
+    # (~24 GB) keeps the page weight and the breadth shape while staying
+    # memory-resident at every parallelism — the pair then measures the
+    # ENGINE, not the disk.
     scale_rep = os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "8")
     scale_pad = os.environ.get("SPARK_GRAFT_SCALING_PAD", "450")
-    # The r3 host is oversubscribed and DRIFTS: single-thread throughput
-    # swings ~2-3× between windows minutes apart (no steal-time signal —
-    # floating vCPUs), so best-of-N per INDEPENDENT leg can pair a fast
-    # local[2] window with a slow local[8] window and report nonsense.
-    # Protocol: legs of the primary pair run INTERLEAVED (8,2,8,2,…) so each
-    # repeat yields a same-window (2,8) pair; the reported efficiency is the
-    # best PAIRED window — both legs inside one drift window — which is the
-    # statistic a dedicated cluster would measure. The no-Spark control run
-    # in the same session calibrates the drift (see BASELINE.md).
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
 
     def run_leg(cpus: str, wide: bool, extra_env: dict | None = None) -> dict:
         env = dict(
@@ -338,212 +342,209 @@ def run_scaling() -> None:
             raise RuntimeError(f"scaling leg local[{cpus}] failed")
         return json.loads(lines[-1])["crawl"]
 
-    def paired_runs(wide: bool) -> tuple[dict, list]:
-        """Interleave the (8, 2) pair ``repeats`` times + one 32 leg.
-        Returns ({cpus: best run}, [per-window paired 2→8 efficiencies])."""
-        runs = {"8": [], "2": []}
-        for _ in range(repeats):
-            for cpus in ("8", "2"):
-                runs[cpus].append(run_leg(cpus, wide=wide))
-        best = {
-            c: max(rs, key=lambda x: x["urls_per_sec"]) for c, rs in runs.items()
-        }
-        best["32"] = run_leg("32", wide=wide)
-        pair_effs = [
-            round(
-                (runs["8"][r]["urls_per_sec"] / runs["2"][r]["urls_per_sec"]) / 4.0,
-                3,
-            )
-            for r in range(repeats)
-        ]
-        w = max(range(repeats), key=lambda r: pair_effs[r])
-        return best, pair_effs, {"2": runs["2"][w], "8": runs["8"][w]}
+    def run_control(levels: list[int]) -> dict:
+        """In-window no-Spark control at exactly the window's parallelism
+        levels (corpus disk-cached by scaling_control, so the call costs
+        only the measured parse time)."""
+        out = subprocess.run(
+            [sys.executable, os.path.join(tools_dir, "scaling_control.py"),
+             scale_rep, scale_pad, ",".join(str(x) for x in levels)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+        return {int(k): v for k, v in res["pages_per_sec_by_procs"].items()}
 
-    results, pair_effs, best_pair = paired_runs(wide=False)
-    # round-width → ∞ limit: the whole corpus as ONE frontier level —
-    # same engine path, no per-round barrier amortization question.
-    # the 32 leg charts where the single-socket bandwidth wall bends the
-    # curve (the 8→32 attribution table below).
-    wide_results, wide_pair_effs, _wide_best_pair = paired_runs(wide=True)
+    def measure_window(hi: str, lo: str, wide: bool) -> dict:
+        """One drift window: engine hi, engine lo, control at {lo,hi} —
+        back-to-back. Everything in the returned dict is same-window."""
+        e_hi = run_leg(hi, wide=wide)
+        e_lo = run_leg(lo, wide=wide)
+        ctl = run_control([int(lo), int(hi)])
+        factor = int(hi) / int(lo)
+        eff_e = round((e_hi["urls_per_sec"] / e_lo["urls_per_sec"]) / factor, 3)
+        eff_c = round((ctl[int(hi)] / ctl[int(lo)]) / factor, 3)
+        return {
+            "hi": hi, "lo": lo, "wide": wide,
+            "engine": {hi: e_hi, lo: e_lo},
+            "control_pages_per_sec": {str(k): v for k, v in ctl.items()},
+            "eff_engine": eff_e,
+            "eff_control": eff_c,
+            "engine_vs_control": round(eff_e / eff_c, 2) if eff_c else None,
+        }
+
+    def med(xs: list) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return round(
+            s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0, 3
+        )
+
+    def summarize(windows: list) -> dict:
+        return {
+            "eff_engine_median": med([w["eff_engine"] for w in windows]),
+            "eff_engine_max": max(w["eff_engine"] for w in windows),
+            "eff_control_median": med([w["eff_control"] for w in windows]),
+            "engine_vs_control_median": med(
+                [w["engine_vs_control"] for w in windows]
+            ),
+            "windows": windows,
+        }
+
+    # Four regimes × `repeats` windows each. Primary pair (2→8) and
+    # secondary pair (8→32), in both the 9-round and the wide-round
+    # (round-width → ∞) shapes. The 8↔32 pair gets the identical window
+    # treatment as 2↔8 — r3 published a cross-window 8→32 that
+    # contradicted its own A/B session by 5-6×; windows make that
+    # impossible by construction.
+    prim = summarize([measure_window("8", "2", False) for _ in range(repeats)])
+    wprim = summarize([measure_window("8", "2", True) for _ in range(repeats)])
+    sec = summarize([measure_window("32", "8", False) for _ in range(repeats)])
+    wsec = summarize([measure_window("32", "8", True) for _ in range(repeats)])
+
     # durable-commit leg: same 9-round crawl at local[8] with per-round
-    # parquet state commits (state_dir) — prices the Iceberg-posture
-    # durability the in-memory protocol legs exclude
+    # parquet state commits (state_dir) paired with an in-window memory-mode
+    # leg — prices the Iceberg-posture durability
+    state_mem = run_leg("8", wide=False)
     state_leg = run_leg(
         "8", wide=False,
         extra_env={"SPARK_GRAFT_BENCH_STATE_DIR": "/tmp/dude_spark_bench_state"},
     )
+    state_overhead_pct = round(
+        100.0 * (state_leg["seconds"] - state_mem["seconds"])
+        / state_mem["seconds"], 1,
+    )
+
     # empty-round scheduling floor at both primary-pair parallelism levels:
     # a chain corpus makes every round fetch ONE page, so sec_per_round is
     # the per-round serial machinery, itemized by loop stage
     floors = {}
     for cpus in ("2", "8"):
         fout = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "tools", "round_floor.py"), cpus, "24"],
+            [sys.executable, os.path.join(tools_dir, "round_floor.py"),
+             cpus, "24"],
             capture_output=True, text=True, timeout=1800,
         )
         floors[cpus] = json.loads(fout.stdout.strip().splitlines()[-1])
-    u = {c: results[c]["urls_per_sec"] for c in results}
-    # primary = best same-window pair (drift-robust); best-of-legs kept as
-    # the cross-window upper bound for reference
-    eff_primary = max(pair_effs)
-    eff_primary_bestlegs = round((u["8"] / u["2"]) / 4.0, 3)
-    eff_secondary = round((u["32"] / u["8"]) / 4.0, 3)
-    uw = {c: wide_results[c]["urls_per_sec"] for c in wide_results}
-    eff_wide = max(wide_pair_effs)
-    eff_wide_bestlegs = round((uw["8"] / uw["2"]) / 4.0, 3)
-    eff_wide_8_32 = round((uw["32"] / uw["8"]) / 4.0, 3)
-    # floor-adjusted 9-round pair: subtract the MEASURED empty-round floor
-    # (rounds × sec_per_round at that parallelism) from each leg's wall and
-    # recompute the ratio — the efficiency of the parallel work itself
-    n_rounds = results["2"]["rounds"]
-    s2 = n_rounds * floors["2"]["sec_per_round"]
-    s8 = n_rounds * floors["8"]["sec_per_round"]
-    # adjust the WINNING PAIRED window's walls (same drift window as
-    # eff_primary), not the cross-window best legs
-    t2, t8 = best_pair["2"]["seconds"], best_pair["8"]["seconds"]
-    eff_floor_adj = (
-        round((max(t2 - s2, 0.001) / max(t8 - s8, 0.001)) / 4.0, 3)
-        if t8 > s8 else None
-    )
-    state_overhead_pct = round(
-        100.0 * (state_leg["seconds"] - best_pair["8"]["seconds"])
-        / best_pair["8"]["seconds"], 1,
-    )
-    # hardware control: same kernel + page weight, plain multiprocessing
-    ctl = json.loads(subprocess.run(
-        [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                      "tools", "scaling_control.py"), "4", scale_pad],
-        capture_output=True, text=True, timeout=1800,
-    ).stdout.strip().splitlines()[-1])
-    ctl_pps = ctl["pages_per_sec_by_procs"]
-    os.makedirs("BENCH", exist_ok=True)
-    rows = "\n".join(
-        f"| local[{c}] | {u[c]} | {results[c]['seconds']} | {results[c]['urls_fetched']} | {results[c]['rounds']} |"
-        for c in ("2", "8", "32")
-    )
-    ctl_rows = "\n".join(f"| {p} | {ctl_pps[p]} |" for p in sorted(ctl_pps, key=int))
-    ratio = round(eff_primary / ctl["eff_2_to_8"], 2) if ctl["eff_2_to_8"] else None
-    # Amdahl decomposition against the control's parallel fraction: if the
-    # parallelizable work scales like the control (2→8 factor k), the
-    # non-scaling residue S satisfies T2 = S + P, T8 = S + P/k.
-    t2, t8 = best_pair["2"]["seconds"], best_pair["8"]["seconds"]
-    k = 4.0 * ctl["eff_2_to_8"]
-    residue = max(0.0, (k * t8 - t2) / (k - 1)) if k > 1 else 0.0
-    res_round = round(residue / max(results["2"]["rounds"], 1), 2)
-    ctl_8_32 = ctl["eff_8_to_32"]
+
+    # floor-adjusted 9-round efficiency per primary window: subtract the
+    # MEASURED empty-round floor (rounds × sec_per_round at that
+    # parallelism) from each leg's wall and recompute — the efficiency of
+    # the parallel work itself
+    floor_adj = []
+    for w in prim["windows"]:
+        n_rounds = w["engine"]["2"]["rounds"]
+        t2 = w["engine"]["2"]["seconds"] - n_rounds * floors["2"]["sec_per_round"]
+        t8 = w["engine"]["8"]["seconds"] - n_rounds * floors["8"]["sec_per_round"]
+        if t8 > 0 and t2 > 0:
+            floor_adj.append(round((t2 / t8) / 4.0, 3))
+    eff_floor_adj = med(floor_adj) if floor_adj else None
 
     def _fmt_stages(fl: dict) -> str:
         return ", ".join(
             f"{k} {v}" for k, v in list(fl["ms_per_round_by_stage"].items())[:4]
         )
 
-    floor_stages_2 = _fmt_stages(floors["2"])
-    floor_stages_8 = _fmt_stages(floors["8"])
-    state_leg_upsec = state_leg["urls_per_sec"]
-    state_leg_secs = state_leg["seconds"]
+    def _win_rows(s: dict) -> str:
+        rows = []
+        for i, w in enumerate(s["windows"]):
+            hi, lo = w["hi"], w["lo"]
+            e = w["engine"]
+            rows.append(
+                f"| {i + 1} | {e[lo]['urls_per_sec']} | {e[hi]['urls_per_sec']} "
+                f"| {w['eff_engine']} | {w['eff_control']} "
+                f"| {w['engine_vs_control']} |"
+            )
+        return "\n".join(rows)
+
+    os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE — two-cluster-size scaling proxy (r2 protocol, regenerated r3)
+        f.write(f"""# BENCH/BASELINE — two-cluster-size scaling proxy (r4 window protocol)
 
-Protocol (BASELINE.md §6): the same crawl job (robots + politeness + dedupe +
-extraction — the full engine path) on the same input at three parallelism
-levels, **best-of-{repeats} fresh-process runs per leg** (single runs on this
-box vary ±40% from GC/page-cache/JIT state; best-of-N estimates the
-machine-unconstrained rate). Corpus: breadth-replicated {SF_DIR}
-({scale_rep}×20 hosts, ~{int(scale_pad)*330//1000} KB pages — replication adds hosts, so round
-count is constant and rounds widen, which is how a larger web scales a
-frontier crawl). Pages travel **per-page zlib-compressed**
-(`CrawlConfig(page_codec="zlib")` — the Common-Crawl WARC posture; byte
-identity through the codec path is oracle-gated by `content_identity_zlib`):
-with raw payloads the JVM's scan/join/cache/Arrow traffic is ~90× larger
-and its allocation/GC cost neither compresses nor parallelizes with
-threads — measured wide-round 2→8 efficiency was 0.55 raw vs 0.93
-compressed, with +74% absolute throughput at 8 cores. Executor warmup
-(python-worker fork + JVM JIT of the Arrow path — paid once per executor
-lifetime on a real cluster) excluded at every level.
+Protocol (BASELINE.md §6 + r3 verdict): the same crawl job (robots +
+politeness + dedupe + extraction — the full engine path) on the same input
+at two N→4N pairs — local[2]→local[8] (primary) and local[8]→local[32]
+(secondary, deliberately into the single-socket bandwidth wall). Corpus:
+breadth-replicated {SF_DIR} ({scale_rep}×20 hosts, ~{int(scale_pad) * 330 // 1000} KB pages —
+replication adds hosts, so round count is constant and rounds widen, which
+is how a larger web scales a frontier crawl). Pages travel **per-page
+zlib-compressed** (`CrawlConfig(page_codec="zlib")`, the Common-Crawl WARC
+posture; byte identity through the codec is oracle-gated by
+`content_identity_zlib`). Executor warmup (python-worker fork + JVM JIT,
+paid once per executor lifetime on a real cluster) is excluded at every
+level.
 
-**Protocol change vs round 1**: replicate 24 → 8. The r1 corpus was ~72 GB
-uncompressed — past what any leg's 72 GB heap can hold in the in-memory
-columnar cache, so r1 legs ran on silently-thrashing uncompressed cache
-spill (re-running the r1 config now OOMs outright: "GC overhead limit
-exceeded" during the cache build). The 8× corpus (~24 GB) keeps the page
-weight and breadth shape while staying memory-resident at every
-parallelism, so the pair measures the engine, not the disk. r1 and r2
-throughput numbers are therefore NOT directly comparable; within-r2 rounds
-are.
+**Why windows.** This host is oversubscribed and DRIFTS: identical legs
+minutes apart differ up to 2-3×, and the no-Spark hardware control's own
+2→8 "efficiency" measured anywhere in {{0.65 … 1.22}} across r2/r3
+sessions. An absolute single-number gate is therefore not measurable
+here. Every ratio below is computed strictly within one WINDOW = [engine
+hi-leg, engine lo-leg, no-Spark control at the same two levels]
+back-to-back; the load-bearing statistics are the **median over windows**
+of (a) the engine's efficiency and (b) the engine/control ratio — the
+control prices what the hardware delivered in that window (it runs the
+byte-identical per-page kernel: zlib inflate + parse + extract, via plain
+multiprocessing with fork-shared input, zero coordination). No number
+from one window is compared against a number from another, anywhere in
+this file.
 
-**Drift control (new in r3)**: the sandbox host is oversubscribed and its
-deliverable CPU DRIFTS ~2-3× between windows minutes apart (no steal-time
-signal — floating vCPUs; the no-Spark control below measured 318.8
-pages/sec/proc in the r2 session vs what this session's table shows). A
-best-of-N over independently-timed legs can therefore pair a fast
-local[2] window with a slow local[8] window and report a nonsense ratio.
-The primary pair now runs INTERLEAVED (8,2,8,2,…), each repeat giving a
-same-window (2,8) pair, and the reported efficiency is the best PAIRED
-window — the statistic a dedicated cluster would measure. Cross-window
-best legs are kept in the table as throughput upper bounds.
+## 9-round BFS crawl (the frontier regime)
 
-| parallelism | urls/sec (best of {repeats}) | wall sec | urls fetched | rounds |
-|---|---|---|---|---|
-{rows}
+Primary pair 2→8, {repeats} windows (urls/sec per leg):
 
-**Primary N→4N pair — local[2] → local[8]: engine efficiency {eff_primary}**
-(best same-window pair; all windows: {pair_effs}; cross-window best-legs
-ratio {eff_primary_bestlegs}). Secondary pair local[8] → local[32]:
-{eff_secondary} (single-box memory-bandwidth wall — threads share one
-socket's controllers; the north_rule's 4× executors bring 4× memory
-subsystems).
+| window | local[2] | local[8] | engine eff | control eff | engine/control |
+|---|---|---|---|---|---|
+{_win_rows(prim)}
+
+**Median engine 2→8: {prim["eff_engine_median"]}** (max {prim["eff_engine_max"]});
+median control: {prim["eff_control_median"]};
+**median engine/control: {prim["engine_vs_control_median"]}**.
+
+Secondary pair 8→32, {repeats} windows:
+
+| window | local[8] | local[32] | engine eff | control eff | engine/control |
+|---|---|---|---|---|---|
+{_win_rows(sec)}
+
+Median engine 8→32: {sec["eff_engine_median"]}; control:
+{sec["eff_control_median"]}; engine/control:
+{sec["engine_vs_control_median"]}. Both engine and control bend here —
+threads share one socket's memory controllers; the north_rule's 4×
+executors bring 4× memory subsystems, which is the regime the control
+ratio corrects toward.
 
 ## Round-width → ∞ limit (the warehouse regime)
 
 Same engine path with the WHOLE corpus seeded as one frontier level — one
 BSP round, so the per-round barrier appears exactly once instead of 9×.
-This is the regime the 10^10-URL target operates in (millions of pages per
-round):
+This is the regime the 10^10-URL target operates in (millions of pages
+per round).
 
-| parallelism | urls/sec (best of {repeats}) | wall sec |
-|---|---|---|
-| local[2] | {uw["2"]} | {wide_results["2"]["seconds"]} |
-| local[8] | {uw["8"]} | {wide_results["8"]["seconds"]} |
-| local[32] | {uw["32"]} | {wide_results["32"]["seconds"]} |
+Primary pair 2→8, {repeats} windows:
 
-**Wide-round 2→8 efficiency: {eff_wide}** (best same-window pair; all
-windows: {wide_pair_effs}; cross-window best-legs {eff_wide_bestlegs};
-north_rule gate: ≥0.8). The gap
-between this number and the 9-round pair above is the per-round barrier
-cost — measured directly, not asserted: same engine path, same pages, only
-the round structure differs. At this corpus's widths each BFS round is
-~4-15k pages; at the 10^10-URL target a round is millions of pages and the
-barrier seconds vanish into round wall time exactly as they do in this
-one-round limit.
+| window | local[2] | local[8] | engine eff | control eff | engine/control |
+|---|---|---|---|---|---|
+{_win_rows(wprim)}
 
-Past 8 threads the curve bends into the single-socket bandwidth wall:
-8→32 = {eff_wide_8_32} (4× cores), vs the no-Spark control's 8→32 =
-{ctl_8_32} on the same kernel.
+**Median engine wide 2→8: {wprim["eff_engine_median"]}** (max
+{wprim["eff_engine_max"]}); median control {wprim["eff_control_median"]};
+**median engine/control: {wprim["engine_vs_control_median"]}**.
 
-**The 8→32 gap, attributed** (r2 verdict item: engine 8→32 measured 2-3×
-below the control). Config A/B at local[32], wide-round, fresh-process
-best-of-2 each (session of 2026-08-17):
+Secondary pair 8→32, {repeats} windows:
 
-| variant | urls/sec (best of 2) |
-|---|---|
-| current defaults (ParallelGC, 128-row Arrow batches) | 2429 |
-| + `-XX:ParallelGCThreads=8` | 2921 |
-| G1GC instead of ParallelGC | 2623 |
-| 512-row Arrow batches | 1980 |
+| window | local[8] | local[32] | engine eff | control eff | engine/control |
+|---|---|---|---|---|---|
+{_win_rows(wsec)}
 
-Findings: (a) **GC thread count is the one real engine-side lever** — the
-JVM defaults to ~23 ParallelGC threads on a 32-core box, and at 32
-mutator threads they contend for the same saturated memory controllers;
-capping at 8 was worth ~+20% and is now the session default (a real
-cluster's 4-8-core executor JVMs sit at ≤8 GC threads natively, so local
-mode was uniquely mis-defaulted). (b) G1 vs Parallel is within
-run-to-run noise. (c) Bigger Arrow batches hurt (buffer churn — see
-session.py). With the GC cap the engine's 8→32 tracks the control's
-8→32 within noise — the residual wall is single-socket memory bandwidth,
-which the north_rule's 4×-executor regime does not share (4× machines =
-4× memory subsystems).
+Median engine wide 8→32: {wsec["eff_engine_median"]}; control
+{wsec["eff_control_median"]}; engine/control
+{wsec["engine_vs_control_median"]}.
+
+The gap between the wide-round and 9-round numbers is the per-round
+barrier cost — measured directly, not asserted: same engine path, same
+pages, only the round structure differs. At this corpus's widths each BFS
+round is ~4-40k pages; at the 10^10-URL target a round is millions of
+pages and the barrier seconds vanish into round wall time exactly as the
+one-round limit shows.
 
 ## Per-round scheduling floor (empty-round A/B)
 
@@ -554,102 +555,90 @@ itemized by crawl-loop stage (`DUDE_SPARK_DEBUG_TIMING` labels):
 
 | parallelism | sec/round | top stages (ms/round) |
 |---|---|---|
-| local[2] | {floors["2"]["sec_per_round"]} | {floor_stages_2} |
-| local[8] | {floors["8"]["sec_per_round"]} | {floor_stages_8} |
+| local[2] | {floors["2"]["sec_per_round"]} | {_fmt_stages(floors["2"])} |
+| local[8] | {floors["8"]["sec_per_round"]} | {_fmt_stages(floors["8"])} |
 
-The floor is core-count-independent (within noise) — it is Spark's
-scheduling/planning floor, not engine work: `assign_seq` is the round's
-ONE materializing job (job scheduling + a 2-stage shuffle + python-worker
-handshakes on near-empty data), `extract_ckpt` is driver-side plan
-analysis of the extraction pipeline. Subtracting the measured floor
-(rounds × sec/round) from each 9-round leg isolates the parallel work:
-**floor-adjusted 2→8 efficiency {eff_floor_adj}** (raw {eff_primary}).
-The residue the raw 9-round pair carries is therefore the per-round
-scheduling floor — fixed seconds per round, which amortize at warehouse
-round widths exactly as the wide-round limit above shows directly.
+The r4 hybrid driver-resident frontier (CrawlConfig.driver_frontier_max)
+collapses a small round to ONE Spark job — candidates are collected via
+Arrow under a limit guard, deduped/numbered vectorized on the driver, and
+re-entered as a LocalRelation — which cut this floor roughly in half vs
+r3 (1.7s/round → see table). Subtracting the measured floor (rounds ×
+sec/round, at the matching parallelism) from each 9-round window's legs
+isolates the parallel work: **median floor-adjusted 2→8 efficiency
+{eff_floor_adj}** (per-window: {floor_adj}).
 
 ## Durable-commit leg (state_dir)
 
 Same local[8] 9-round crawl with per-round parquet state commits
 (`CrawlConfig(state_dir=...)` — the real-cluster resume/durability
-posture standing in for Iceberg snapshots): {state_leg_upsec} urls/sec,
-{state_leg_secs}s wall vs {t8}s in-memory — **+{state_overhead_pct}%
-wall for durability**. The commit cost is per-round parquet write+read of
-frontier/seen deltas; at warehouse round widths it is I/O proportional to
-the delta, not the corpus.
-
-## Hardware control
-
-`tools/scaling_control.py` runs the SAME extraction kernel over the same
-page shape with plain `multiprocessing` — fork-shared input, zero Spark,
-zero coordination (pad={scale_pad}):
-
-| processes | pages/sec |
-|---|---|
-{ctl_rows}
-
-Control efficiency: **2→8 = {ctl["eff_2_to_8"]}, 8→32 = {ctl["eff_8_to_32"]}**
-this run. Repeated control runs over the session measured 2→8 ∈
-{{0.65, 0.99, 1.22}} — the control itself swings ±45% with machine state,
-which is why the engine legs are best-of-{repeats} and why the wide-round
-pair (same-process, same-corpus, back-to-back) is the load-bearing scaling
-evidence rather than the engine-to-control ratio.
+posture standing in for Iceberg snapshots), paired in-window with a
+memory-mode leg: {state_leg["urls_per_sec"]} urls/sec,
+{state_leg["seconds"]}s wall vs {state_mem["seconds"]}s in-memory —
+**+{state_overhead_pct}% wall for durability**. The commit cost is
+per-round parquet write+read of frontier/seen deltas; at warehouse round
+widths it is I/O proportional to the delta, not the corpus.
 
 ## Reading the numbers
 
-- **Where the 9-round gap is.** Measured, twice over: (a) the wide-round
-  limit removes 8 of 9 barriers and the 2→8 pair recovers to {eff_wide};
-  (b) the empty-round floor harness prices the per-round machinery
-  directly at ~{floors["8"]["sec_per_round"]}s/round, core-count-
-  independent, itemized by stage above — and subtracting exactly that
-  floor from the 9-round legs recovers {eff_floor_adj}. The two
-  independent estimates agree: the 9-round raw number is parallel work at
-  ~{eff_floor_adj} efficiency plus a fixed per-round scheduling floor.
-  A/B measurements behind the current defaults: seen-set broadcast
-  anti-join beats the co-partitioned shuffle anti-join 2× at this scale;
-  AQE on beats off; 128-row Arrow batches beat 1024; the zlib payload
-  codec is the single largest lever (see protocol note above).
-- **What amortizes at cluster scale.** The residue is per-ROUND, not
-  per-URL: at warehouse round widths (millions of pages per round at the
-  10^10-URL target vs ~15k here) the same seconds vanish into round wall
-  time. The per-round corpus probe scan co-scales with executors on a real
-  cluster (each executor scans only its cache shard with its own memory
-  controllers). The architecture carries nothing that serializes with
-  cluster growth: per-round state is hash-partitioned (seen set, frontier),
-  small dims (robots, allowed) are broadcast or constant-folded, politeness
-  pre-checks ride on the previous round's sizing aggregation (zero extra
-  jobs), one materializing job per round carries extraction + expansion +
-  dedupe + numbering, and task counts track data size rather than core
-  count.
+- **The defensible gate statistic on this box is engine-vs-same-window-
+  control.** The engine cannot out-scale the silicon it runs on in a
+  given window; the control measures exactly that ceiling with the same
+  per-page kernel and no Spark. Medians over windows are reported;
+  per-window rows are all published above.
+- **Where the 9-round gap is.** Measured twice over: (a) the wide-round
+  limit removes 8 of 9 barriers; (b) the empty-round floor harness prices
+  the per-round machinery directly, itemized by stage, and subtracting
+  exactly that floor from the 9-round windows recovers
+  {eff_floor_adj}. The residue is per-ROUND, not per-URL — at warehouse
+  round widths (millions of pages per round at the 10^10-URL target vs
+  ~4-40k here) the same seconds vanish into round wall time.
+- **What amortizes at cluster scale.** The per-round corpus probe scan
+  co-scales with executors on a real cluster (each executor scans only
+  its cache shard with its own memory controllers). The architecture
+  carries nothing that serializes with cluster growth: per-round state is
+  hash-partitioned (seen set, frontier), small dims (robots, allowed) are
+  broadcast or constant-folded, politeness pre-checks ride on the
+  previous round's sizing aggregation, one materializing job per round
+  carries extraction + expansion + dedupe + numbering, and task counts
+  track data size rather than core count. The hybrid driver-resident
+  frontier is gated on candidate-set size, so at warehouse widths the
+  engine stays on the fully distributed path by construction.
 - The reference is a single-process loop with ≤1 URL in flight and
   `time.sleep(crawl_delay)` between fetches (`dude/base.py:361-376`): its
-  envelope is < 10 urls/sec on this corpus even with zero network latency;
-  every leg above exceeds it by two orders of magnitude.
+  envelope is < 10 urls/sec on this corpus even with zero network
+  latency; every leg above exceeds it by two orders of magnitude.
 
-Crawl-ordering/byte-identity correctness for the same engine configuration is
-gated separately by CORRECTNESS (49 oracle-checked queries) and the pytest
-parity suite (`tests/test_crawl_spark.py`).
+Crawl-ordering/byte-identity correctness for the same engine configuration
+is gated separately by CORRECTNESS (50 oracle-checked queries) and the
+pytest parity suite (`tests/test_crawl_spark.py`, incl. the hybrid-
+frontier byte-parity test).
 """)
     summary = {
-        "scaling_efficiency": eff_primary,
-        "eff_2_to_8": eff_primary,
-        "eff_2_to_8_all_windows": pair_effs,
-        "eff_2_to_8_bestlegs": eff_primary_bestlegs,
-        "eff_2_to_8_wide_all_windows": wide_pair_effs,
-        "eff_2_to_8_wide_bestlegs": eff_wide_bestlegs,
+        # headline gate stats: median over same-window pairs
+        "scaling_efficiency": prim["eff_engine_median"],
+        "eff_2_to_8": prim["eff_engine_median"],
+        "eff_2_to_8_windows": [w["eff_engine"] for w in prim["windows"]],
+        "engine_vs_control_2_to_8": prim["engine_vs_control_median"],
+        "eff_2_to_8_wide": wprim["eff_engine_median"],
+        "eff_2_to_8_wide_windows": [w["eff_engine"] for w in wprim["windows"]],
+        "engine_vs_control_2_to_8_wide": wprim["engine_vs_control_median"],
+        "eff_8_to_32": sec["eff_engine_median"],
+        "engine_vs_control_8_to_32": sec["engine_vs_control_median"],
+        "eff_8_to_32_wide": wsec["eff_engine_median"],
+        "engine_vs_control_8_to_32_wide": wsec["engine_vs_control_median"],
         "eff_2_to_8_floor_adjusted": eff_floor_adj,
-        "eff_8_to_32": eff_secondary,
-        "eff_2_to_8_wide_round": eff_wide,
-        "eff_8_to_32_wide_round": eff_wide_8_32,
-        "engine_vs_control": ratio,
-        "control": {"eff_2_to_8": ctl["eff_2_to_8"], "eff_8_to_32": ctl["eff_8_to_32"]},
-        "urls_per_sec": u,
-        "urls_per_sec_wide": uw,
+        "regimes": {
+            "nine_round_2_8": prim,
+            "wide_2_8": wprim,
+            "nine_round_8_32": sec,
+            "wide_8_32": wsec,
+        },
         "floor_sec_per_round": {c: floors[c]["sec_per_round"] for c in floors},
         "floor_ms_by_stage": {c: floors[c]["ms_per_round_by_stage"] for c in floors},
         "state_dir_leg": {
-            "urls_per_sec": state_leg_upsec,
-            "seconds": state_leg_secs,
+            "urls_per_sec": state_leg["urls_per_sec"],
+            "seconds": state_leg["seconds"],
+            "in_window_memory_seconds": state_mem["seconds"],
             "overhead_pct_vs_memory": state_overhead_pct,
         },
         "replicate": int(scale_rep),

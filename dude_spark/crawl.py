@@ -799,7 +799,8 @@ class CrawlJob:
             # machinery collapses to ONE job. Wide rounds (limit overflow)
             # fall back to the distributed path below — the 100 TB regime,
             # where the per-round floor amortizes into round width anyway.
-            local_new: Optional[list] = None
+            local_round = False
+            local_pdf = None  # next-frontier pandas frame (driver-side rounds)
             new_frontier = None
             n_new = 0
             new_host_counts: Optional[dict] = None
@@ -814,38 +815,65 @@ class CrawlJob:
                     how="left_anti",
                 ).limit(cfg.driver_frontier_max + 1)
                 _t('cand_plan', _since)
-                cand_rows = anti_plan.collect()
+                # Arrow collect, NOT .collect(): Row-pickle deserialization
+                # of a wide round's candidates is ~1-2s of single-threaded
+                # driver time — pure serial fraction on the scaling curve.
+                # The Arrow table lands in columnar batches and every step
+                # below is vectorized.
+                cand_tbl = anti_plan.toArrow()
                 _t('cand_collect', _since)
-                if len(cand_rows) <= cfg.driver_frontier_max:
-                    cand_rows.sort(key=lambda r: (r["parent_seq"], r["link_seq"]))
-                    local_new = []
-                    batch_hashes: set = set()
-                    if cfg.max_per_host is None and delayed_hosts:
-                        new_host_counts = {}
-                    for r in cand_rows:
-                        h = r["url_hash"]
-                        if h in batch_hashes:
-                            continue
-                        batch_hashes.add(h)
-                        local_new.append((
-                            r["url"], h, r["host"], r["depth"], r["priority"],
-                            max_seq + 1 + len(local_new), "GET", "pending",
-                            rnd + 1, r["crawl_delay"],
-                        ))
-                        if new_host_counts is not None and r["host"] in delayed_set:
-                            new_host_counts[r["host"]] = (
-                                new_host_counts.get(r["host"], 0) + 1
-                            )
-                    n_new = len(local_new)
-                    if n_new:
-                        import pandas as pd
+                if cand_tbl.num_rows <= cfg.driver_frontier_max:
+                    import numpy as np
+                    import pandas as pd
 
-                        new_frontier = _local_relation(
-                            spark,
-                            pd.DataFrame(local_new, columns=CRAWL_COLS),
-                            CRAWL_DDL,
+                    local_round = True
+                    cpdf = cand_tbl.to_pandas()
+                    # arrival order, then keep-first per url_hash — identical
+                    # to dedupe_candidates' window semantics ((parent_seq,
+                    # link_seq) is unique, so stability is moot)
+                    cpdf = (
+                        cpdf.sort_values(
+                            ["parent_seq", "link_seq"], ignore_index=True
                         )
-            if local_new is None:
+                        .drop_duplicates("url_hash", keep="first")
+                        .reset_index(drop=True)
+                    )
+                    n_new = len(cpdf)
+                    if cfg.max_per_host is None and delayed_hosts:
+                        hc = cpdf["host"][cpdf["host"].isin(delayed_set)]
+                        new_host_counts = {
+                            k: int(v) for k, v in hc.value_counts().items()
+                        }
+                    if n_new:
+                        # int columns arrive float64 iff nulls were present
+                        # (possible only via a null-yielding priority_expr);
+                        # nullable Int dtypes keep them null through Arrow
+                        for c, dt in (
+                            ("depth", "Int32"), ("priority", "Int32"),
+                            ("crawl_delay", "Int32"),
+                        ):
+                            if cpdf[c].dtype.kind == "f":
+                                cpdf[c] = cpdf[c].astype(dt)
+                        # RangeIndex after reset_index → Series align with
+                        # the fresh seq column; nullable Int dtypes survive
+                        local_pdf = pd.DataFrame({
+                            "url": cpdf["url"],
+                            "url_hash": cpdf["url_hash"],
+                            "host": cpdf["host"],
+                            "depth": cpdf["depth"],
+                            "priority": cpdf["priority"],
+                            "seq": np.arange(
+                                max_seq + 1, max_seq + 1 + n_new, dtype="int64"
+                            ),
+                            "method": "GET",
+                            "status": "pending",
+                            "round": rnd + 1,
+                            "crawl_delay": cpdf["crawl_delay"],
+                        })
+                        new_frontier = _local_relation(
+                            spark, local_pdf, CRAWL_DDL
+                        )
+            if not local_round:
                 if cfg.dedupe == "seen":
                     use_broadcast = seen_n <= cfg.broadcast_seen_max
                     if cfg.bloom_bits and not use_broadcast and seen_bloom is None:
@@ -893,7 +921,7 @@ class CrawlJob:
                 except Exception:
                     pass
             retired_handles.clear()
-            if local_new is None:
+            if not local_round:
                 # distributed path: attach the static columns the driver-side
                 # path already embedded in its LocalRelation rows
                 new_frontier = (
@@ -916,7 +944,7 @@ class CrawlJob:
                 frontier_local = True
             elif deferred is None:
                 frontier = new_frontier
-                frontier_local = local_new is not None
+                frontier_local = local_round
             elif new_frontier is None:
                 frontier = deferred
             else:
@@ -943,17 +971,10 @@ class CrawlJob:
                 # compact into one url_hash-partitioned base — amortized
                 # O(seen/k) movement per round, vs the former full seen
                 # reshuffle every round (a scale-killer at 10^10 URLs).
-                if local_new is not None:
+                if local_round:
                     # driver-side round: the delta rows are already local —
                     # a LocalRelation delta needs no checkpoint, no handle
-                    import pandas as pd
-
-                    delta_pdf = pd.DataFrame(
-                        {
-                            "url": [t[0] for t in local_new],
-                            "url_hash": [t[1] for t in local_new],
-                        }
-                    )
+                    delta_pdf = local_pdf[["url", "url_hash"]]
                     delta = _local_relation(
                         spark, delta_pdf, "url string, url_hash bigint"
                     )

@@ -17,9 +17,13 @@ Semantics are pinned to the reference's lxml backend:
   structural pseudo-classes (``:first-child :last-child :only-child
   :empty :nth-child(an+b|odd|even) :nth-last-child :first-of-type
   :last-of-type :nth-of-type :nth-last-of-type :not(compound)``),
-  compound selectors, combinators (descendant, ``>``, ``+``, ``~`` —
-  matched with backtracking, bounded to the context subtree), and
-  selector groups (``,``). Results in document order.
+  ``:is(sel-list)``/``:where(sel-list)`` (any-of over complex selectors,
+  matched document-wide per CSS4), ``:has(rel-sel)`` (relative selector
+  with optional leading ``>``/``+``/``~`` combinator; descendant
+  default), compound selectors, combinators (descendant, ``>``, ``+``,
+  ``~`` — matched with backtracking, bounded to the context subtree),
+  and selector groups (``,`` — split at top level only, so commas inside
+  ``:is(...)``/``[...]`` nest correctly). Results in document order.
 - XPath — subset: ``.//name``, ``//name``, ``./name``, ``*``/``node()``
   wildcards, ``..``, explicit axes (``following-sibling:: preceding-
   sibling:: parent:: self:: child:: descendant:: ancestor::
@@ -433,6 +437,39 @@ class _Compound:
                 for c in el.children:
                     if isinstance(c, Element) or (isinstance(c, str) and c):
                         return False
+            elif kind == "is":
+                # :is(sel-list) / :where(): matches if ANY selector in the
+                # list matches; complex selectors are matched against the
+                # whole document (CSS4 — :is args are not scope-bounded)
+                root = _doc_root(el)
+                if not any(
+                    _css_chain_matches(el, ch, root) for ch in ps[1]
+                ):
+                    return False
+            elif kind == "has":
+                full, marker, combin = ps[1]
+                root = _doc_root(el)
+                marker.target = el
+                try:
+                    if combin in (" ", ">"):
+                        cands = (d for d in el.iter() if d is not el)
+                    else:  # '+'/'~': following siblings' subtrees
+                        cands = []
+                        p = el.parent
+                        if p is not None:
+                            sibs = [
+                                c for c in p.children if isinstance(c, Element)
+                            ]
+                            for s in sibs[sibs.index(el) + 1:]:
+                                cands.extend(s.iter())
+                    # the marker compound pins the relative selector's anchor
+                    # to `el`; _css_chain_matches enforces the combinator
+                    if not any(
+                        _css_chain_matches(d, full, root) for d in cands
+                    ):
+                        return False
+                finally:
+                    marker.target = None
             else:  # ('not', compound)
                 if ps[1].matches(el):
                     return False
@@ -487,6 +524,63 @@ class _Compound:
         return True
 
 
+class _ScopeMarker:
+    """Pseudo-compound matching only the :has() anchor element; ``target``
+    is pinned per-candidate during evaluation (single-threaded per task)."""
+
+    __slots__ = ("target",)
+
+    def __init__(self) -> None:
+        self.target: Optional[Element] = None
+
+    def matches(self, el: Element) -> bool:
+        return el is self.target
+
+
+def _doc_root(el: Element) -> Element:
+    while el.parent is not None:
+        el = el.parent
+    return el
+
+
+def _split_selector_list(expr: str) -> List[str]:
+    """Split a selector list on top-level commas only (commas inside
+    ``()``/``[]`` — e.g. ``:is(a, b)`` — belong to the nested selector)."""
+    parts: List[str] = []
+    depth = 0
+    buf = ""
+    for ch in expr:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(buf)
+            buf = ""
+        else:
+            buf += ch
+    parts.append(buf)
+    out = [s.strip() for s in parts]
+    if any(not p for p in out):
+        raise ValueError(f"empty selector in list: {expr!r}")
+    return out
+
+
+def _parse_has_arg(arg: str):
+    """Parse a :has() relative selector: optional leading combinator
+    (``>``, ``+``, ``~``; default descendant) + complex selector. Returns
+    (chain-with-scope-marker, marker, combinator)."""
+    arg = arg.strip()
+    combin = " "
+    if arg and arg[0] in ">+~":
+        combin = arg[0]
+        arg = arg[1:].strip()
+    chain = _parse_css_chain(arg)
+    marker = _ScopeMarker()
+    full = [(" ", marker), (combin, chain[0][1])] + chain[1:]
+    return full, marker, combin
+
+
 def _parse_compound(s: str) -> _Compound:
     comp = _Compound()
     pos = 0
@@ -503,7 +597,12 @@ def _parse_compound(s: str) -> _Compound:
         elif m.group("cls"):
             comp.classes.append(m.group("cls"))
         elif m.group("id"):
-            comp.id = m.group("id")
+            if comp.id is None:
+                comp.id = m.group("id")
+            else:
+                # a second #id in one compound is an AND (unsatisfiable
+                # unless equal), not an overwrite — keep it as an attr test
+                comp.attrs.append(("id", "=", m.group("id")))
         elif m.group("attr"):
             op = m.group("op") or "="
             val = m.group("val")
@@ -546,6 +645,13 @@ def _parse_compound(s: str) -> _Compound:
                 comp.pseudos.append(("nth-last-type", *_parse_nth(arg)))
             elif name == "not" and arg is not None:
                 comp.pseudos.append(("not", _parse_compound(arg.strip())))
+            elif name in ("is", "where") and arg is not None:
+                comp.pseudos.append((
+                    "is",
+                    [_parse_css_chain(p) for p in _split_selector_list(arg)],
+                ))
+            elif name == "has" and arg is not None:
+                comp.pseudos.append(("has", _parse_has_arg(arg)))
             else:
                 raise ValueError(f"unsupported CSS pseudo-class: :{name}")
         pos = next_pos
@@ -571,7 +677,20 @@ def _parse_css_chain(sel: str) -> List[Tuple[str, _Compound]]:
             buf += sel[i : j + 1]
             i = j + 1
         elif ch == "(":
-            j = sel.index(")", i)
+            # balanced scan — :has(em:nth-child(2)) nests parens, so the
+            # first ')' is not necessarily the matching one
+            depth = 0
+            j = i
+            while j < len(sel):
+                if sel[j] == "(":
+                    depth += 1
+                elif sel[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= len(sel):
+                raise ValueError(f"unbalanced parens in CSS selector: {sel!r}")
             buf += sel[i : j + 1]
             i = j + 1
         elif ch in " >+~":
@@ -635,7 +754,7 @@ def _css_chain_matches(
 def css_select(scope: Element, expr: str) -> List[Element]:
     """All elements under ``scope`` (self included — lxml descendant-or-self
     translation) matching ``expr``, in document order."""
-    chains = [_parse_css_chain(s) for s in expr.split(",") if s.strip()]
+    chains = [_parse_css_chain(s) for s in _split_selector_list(expr)]
     out: List[Element] = []
     for el in scope.iter():
         for chain in chains:

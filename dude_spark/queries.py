@@ -545,6 +545,33 @@ def q_css_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ciattr(element):
         return {"t": "ci", "v": element.text_content()}
 
+    # :has(descendant) — groups carry p.description iff k != 2
+    @app.select(css="div.custom-group:has(p.description) > a.url > p.title")
+    def hasdesc(element):
+        return {"t": "hasdesc", "v": element.text_content()}
+
+    # :not(:has(> child)) composition — exactly group 2
+    @app.select(css="div.custom-group:not(:has(> p.description)) p.title")
+    def nodesc(element):
+        return {"t": "nodesc", "v": element.text_content()}
+
+    # :has(+ sibling) — the div element-adjacent before the a.self div is
+    # the LAST next-link div (Next 2 if present, else Next 1); leaf pages
+    # have a <p> there instead, so no match
+    @app.select(css="div:has(+ div > a.self) > a.next")
+    def presib(element):
+        return {"t": "presib", "v": element.text_content()}
+
+    # :is(list) — any-of over simple selectors
+    @app.select(css="p:is(.title, .description)")
+    def isany(element):
+        return {"t": "isany", "v": element.text_content()}
+
+    # :where(complex) — document-wide complex selector argument
+    @app.select(css="p:where(div.custom-group + div.custom-group > a > p)")
+    def wherechain(element):
+        return {"t": "wherechain", "v": element.text_content()}
+
     ext = _extract_once(spark, sf_dir, app)
     return ext.filter(F.col("kind") == "data").select(
         "page_url",
@@ -567,6 +594,20 @@ SELECT url, 'nlast', CASE WHEN 2 * local + 2 < n_local THEN 'Next 2'
 FROM layout WHERE 2 * local + 1 < n_local
 UNION ALL
 SELECT url, 'ci', 'Title ' || doc_id || '-' || k FROM ks
+UNION ALL
+SELECT url, 'hasdesc', 'Title ' || doc_id || '-' || k FROM ks WHERE k != 2
+UNION ALL
+SELECT url, 'nodesc', 'Title ' || doc_id || '-2' FROM layout WHERE n_groups >= 2
+UNION ALL
+SELECT url, 'presib', CASE WHEN 2 * local + 2 < n_local THEN 'Next 2'
+                           ELSE 'Next 1' END
+FROM layout WHERE 2 * local + 1 < n_local
+UNION ALL
+SELECT url, 'isany', 'Title ' || doc_id || '-' || k FROM ks
+UNION ALL
+SELECT url, 'isany', 'Description ' || doc_id || '-' || k FROM ks WHERE k != 2
+UNION ALL
+SELECT url, 'wherechain', 'Title ' || doc_id || '-' || k FROM ks WHERE k >= 2
 """
 
 

@@ -400,3 +400,22 @@ def test_hybrid_frontier_parity(spark, crawl_result):
         assert trace == base_trace, f"trace diverged at driver_frontier_max={cap}"
         assert res.results.count() == base_rows
         assert res.seen.count() == base_seen
+
+
+def test_local_relation_nullable_ints(spark):
+    """The hybrid path casts int columns to pandas nullable Int dtypes when
+    nulls are present (a null-yielding priority_expr); the Arrow
+    LocalRelation build must carry them as null ints, not floats."""
+    import pandas as pd
+
+    from dude_spark.crawl import _local_relation
+
+    pdf = pd.DataFrame(
+        {"a": pd.array([1, None], dtype="Int32"), "b": ["x", "y"]}
+    )
+    df = _local_relation(spark, pdf, "a int, b string")
+    assert df.schema["a"].dataType.typeName() == "integer"
+    assert sorted(
+        [(r["a"], r["b"]) for r in df.collect()],
+        key=lambda t: t[1],
+    ) == [(1, "x"), (None, "y")]

@@ -319,3 +319,74 @@ def test_xpath_function_tail_count_substring():
     ] == ["solo"]
     # substring clamping: start past end → empty string
     assert ids(".//div[substring(@id, 9) = '']") == ["a", "b", "c"]
+
+
+HAS_IS_DOC = """
+<html><body>
+  <div id="a" class="card"><h2>One</h2><p class="x">t1</p></div>
+  <div id="b" class="card"><h2>Two</h2></div>
+  <div id="c" class="card"><span><p class="x">deep</p></span></div>
+  <section id="s1"><div id="d"></div><p id="after">tail</p></section>
+  <ul><li id="l1">1</li><li id="l2" class="x">2</li><li id="l3">3</li></ul>
+</body></html>
+"""
+
+
+def test_css_is_where():
+    root = parse_html(HAS_IS_DOC)
+    # :is() any-of over simple selectors
+    assert [e.get("id") for e in css_select(root, "div:is(#a, #c)")] == ["a", "c"]
+    # :where() is the same match (specificity has no meaning here)
+    assert [e.get("id") for e in css_select(root, "div:where(#a, #c)")] == ["a", "c"]
+    # complex selector inside :is — matched document-wide (div > p also
+    # catches the direct-child p.x of #a, which has no id)
+    assert [e.get("id") for e in css_select(root, "p:is(section p, div > p)")] == [
+        None, "after"
+    ]
+    assert [e.get("id") for e in css_select(root, "p:is(section p)")] == ["after"]
+    # top-level comma still splits; comma inside :is() must not
+    assert [e.get("id") for e in css_select(root, "li:is(#l1, #l3), p#after")] == [
+        "after", "l1", "l3",
+    ] or [e.get("id") for e in css_select(root, "li:is(#l1, #l3), p#after")] == [
+        "l1", "l3", "after",
+    ]
+
+
+def test_css_has_descendant_and_child():
+    root = parse_html(HAS_IS_DOC)
+    # descendant: any div with a p.x anywhere below
+    assert [e.get("id") for e in css_select(root, "div:has(p.x)")] == ["a", "c"]
+    # direct child: only #a has p.x as a direct child
+    assert [e.get("id") for e in css_select(root, "div:has(> p.x)")] == ["a"]
+    # chained inner selector
+    assert [e.get("id") for e in css_select(root, "div:has(span p)")] == ["c"]
+    # no match
+    assert css_select(root, "div:has(> h1)") == []
+
+
+def test_css_has_sibling_combinators():
+    root = parse_html(HAS_IS_DOC)
+    # + : next sibling matches
+    assert [e.get("id") for e in css_select(root, "li:has(+ li.x)")] == ["l1"]
+    # ~ : any following sibling matches
+    assert [e.get("id") for e in css_select(root, "li:has(~ li.x)")] == ["l1"]
+    assert [e.get("id") for e in css_select(root, "div:has(+ p#after)")] == ["d"]
+
+
+def test_css_has_is_compose():
+    root = parse_html(HAS_IS_DOC)
+    # :has inside a chain; :not with :has sibling semantics
+    assert [e.get("id") for e in css_select(root, "body div.card:has(h2):has(p)")] == [
+        "a"
+    ]
+    assert [
+        e.get("id") for e in css_select(root, "div.card:not(#b):has(h2)")
+    ] == ["a"]
+
+
+def test_css_unsupported_pseudo_still_raises():
+    root = parse_html(HAS_IS_DOC)
+    with pytest.raises(ValueError):
+        css_select(root, "div:hover")
+    with pytest.raises(ValueError):
+        css_select(root, "div:nth-acid(2)")

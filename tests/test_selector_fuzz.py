@@ -82,7 +82,9 @@ def gen_compound(rng: random.Random, allow_not: bool = True) -> dict:
     for _ in range(n_parts):
         kind = rng.choice(
             ["class", "id", "attr", "nth", "first", "last"]
-            + (["not"] if allow_not else [])
+            # :is/:has only at nesting depth 0 (allow_not doubles as the
+            # nesting guard) — bounded grammar, same as :not
+            + (["not", "is", "has"] if allow_not else [])
         )
         if kind == "class":
             comp["parts"].append(("class", rng.choice(CLASSES)))
@@ -98,6 +100,15 @@ def gen_compound(rng: random.Random, allow_not: bool = True) -> dict:
             comp["parts"].append(("first",))
         elif kind == "last":
             comp["parts"].append(("last",))
+        elif kind == "is":
+            chains = [
+                gen_chain(rng, nested=True)
+                for _ in range(rng.randint(1, 2))
+            ]
+            comp["parts"].append(("is", chains, rng.random() < 0.5))
+        elif kind == "has":
+            comb = rng.choice([" ", ">", "+", "~"])
+            comp["parts"].append(("has", comb, gen_chain(rng, nested=True)))
         else:
             inner = gen_compound(rng, allow_not=False)
             inner["parts"] = inner["parts"][:1]  # :not(simple)
@@ -122,6 +133,13 @@ def render_compound(comp: dict) -> str:
             s += ":first-child"
         elif k == "last":
             s += ":last-child"
+        elif k == "is":
+            name = "is" if part[2] else "where"
+            s += f":{name}({', '.join(render_chain(c) for c in part[1])})"
+        elif k == "has":
+            comb = part[1]
+            pre = "" if comb == " " else f"{comb} "
+            s += f":has({pre}{render_chain(part[2])})"
         else:
             s += f":not({render_compound(part[1])})"
     return s or "*"
@@ -166,23 +184,86 @@ def match_compound(el: Element, comp: dict) -> bool:
                 ok = sibs[0] is el
             else:
                 ok = sibs[-1] is el
+        elif k == "is":
+            root = el
+            while root.parent is not None:
+                root = root.parent
+            ok = any(match_chain(el, c, root) for c in part[1])
+        elif k == "has":
+            ok = naive_relative(el, part[1], part[2])
         else:  # not
-            ok = not match_compound(el, part[1]) or (
-                part[1]["tag"] is not None and el.tag != part[1]["tag"]
-            )
-            # plain negation (the tag check above already ran inside
-            # match_compound; recompute directly for clarity)
             ok = not match_compound(el, part[1])
         if not ok:
             return False
     return True
 
 
-def gen_chain(rng: random.Random) -> list:
-    """[comp0, (comb, comp1), ...] — up to 3 compounds."""
-    chain = [gen_compound(rng)]
-    for _ in range(rng.randint(0, 2)):
-        chain.append((rng.choice([" ", ">", "+", "~"]), gen_compound(rng)))
+def _is_strict_ancestor(anc: Element, el: Element) -> bool:
+    p = el.parent
+    while p is not None:
+        if p is anc:
+            return True
+        p = p.parent
+    return False
+
+
+def naive_relative(el: Element, comb: str, chain: list) -> bool:
+    """Independent :has() semantics: exists d matching the chain whose
+    LEFTMOST compound lands on an element related to ``el`` by ``comb``."""
+    comps = [chain[0]] + [c for _, c in chain[1:]]
+    combs = [None] + [cb for cb, _ in chain[1:]]
+
+    def anchor_ok(a: Element) -> bool:
+        if comb == " ":
+            return _is_strict_ancestor(el, a)
+        if comb == ">":
+            return a.parent is el
+        if el.parent is None:
+            return False
+        sibs = _elem_children(el.parent)
+        i = sibs.index(el)
+        if comb == "+":
+            return i + 1 < len(sibs) and a is sibs[i + 1]
+        return a in sibs[i + 1:]
+
+    def rec(e: Element, idx: int) -> bool:
+        if not match_compound(e, comps[idx]):
+            return False
+        if idx == 0:
+            return anchor_ok(e)
+        cb = combs[idx]
+        if cb == ">":
+            return e.parent is not None and rec(e.parent, idx - 1)
+        if cb == " ":
+            p = e.parent
+            while p is not None:
+                if rec(p, idx - 1):
+                    return True
+                p = p.parent
+            return False
+        sibs = _elem_children(e.parent) if e.parent is not None else [e]
+        i = sibs.index(e)
+        if cb == "+":
+            return i > 0 and rec(sibs[i - 1], idx - 1)
+        return any(rec(s, idx - 1) for s in sibs[:i])
+
+    root = el
+    while root.parent is not None:
+        root = root.parent
+    doc = [root] + _descendants(root)
+    return any(rec(d, len(comps) - 1) for d in doc)
+
+
+def gen_chain(rng: random.Random, nested: bool = False) -> list:
+    """[comp0, (comb, comp1), ...] — up to 3 compounds. ``nested`` chains
+    (inside :is/:has) stay shorter and cannot nest further."""
+    allow = not nested
+    chain = [gen_compound(rng, allow_not=allow)]
+    for _ in range(rng.randint(0, 1 if nested else 2)):
+        chain.append(
+            (rng.choice([" ", ">", "+", "~"]),
+             gen_compound(rng, allow_not=allow))
+        )
     return chain
 
 
@@ -410,9 +491,9 @@ def test_xpath_selector_parity_fuzz(block: int) -> None:
 # --------------------------------------------------------------------------
 
 CSS_UNSUPPORTED = [
-    "div:hover", "a:visited", "p::before", "p::after", ":has(a)",
-    ":is(div, p)", ":where(.x)", "div:lang(en)", "div:nth-child(2n of .x)",
-    ":focus-within", "div:dir(ltr)",
+    "div:hover", "a:visited", "p::before", "p::after",
+    "div:lang(en)", "div:nth-child(2n of .x)",
+    ":focus-within", "div:dir(ltr)", "div:has(a", ":is(div,, p)",
 ]
 XPATH_UNSUPPORTED = [
     ".//div[name() = 'div']", ".//div[lang('en')]",

@@ -2,7 +2,12 @@
 
 Measures the parse+extract kernel's multiprocessing speedup curve on the
 same synthetic pages the crawl bench uses — zero Spark, zero coordination,
-fork-shared input (no IPC in the measured window). This isolates the
+fork-shared input (no IPC in the measured window). Pages are per-page
+zlib-compressed and inflated inside the kernel, matching the engine bench
+posture (CrawlConfig.page_codec="zlib") byte-for-byte in per-page work.
+Usage: scaling_control.py [replicate] [pad] [levels] — e.g. `8 450 2,8`
+runs only the 2- and 8-proc levels (a cheap in-window control leg).
+This isolates the
 HARDWARE's contribution to the local[8]→local[32] efficiency number: HTML
 parsing is allocation-heavy, and a single socket's memory bandwidth
 saturates well before 32 cores. A real N→4N executor scale-out adds a
@@ -42,45 +47,85 @@ def _parse_range(args):
         return {"item_href": element.get("href")}
 
     plan = app.compile()
+    import zlib
+
     n = 0
     for i in range(lo, hi, step):
-        extract_page_rows(plan, "https://x.test/p.html", ROWS[i], follow_urls=True)
+        # identical per-page work to the engine's extraction kernel in the
+        # bench posture (CrawlConfig.page_codec="zlib"): pages rest
+        # compressed and every parse pays the zlib inflate — the inflate's
+        # memory writes are a real slice of the bandwidth pressure the
+        # 2→8→32 curve measures, so the control must pay it too
+        extract_page_rows(
+            plan, "https://x.test/p.html", zlib.decompress(ROWS[i]),
+            follow_urls=True,
+        )
         n += 1
     return n
+
+
+def _load_rows(replicate: int, pad: int) -> list:
+    """Synthesized compressed-page corpus, disk-cached per (sf, replicate,
+    pad) so a per-window control invocation costs zero Spark-session
+    startup (~30s) — the whole point of the control is to sit INSIDE the
+    same drift window as the engine pair it calibrates."""
+    import pickle
+    import zlib
+
+    import bench
+
+    cache = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        f"ctl_rows_{os.path.basename(bench.SF_DIR)}_{replicate}_{pad}.pkl",
+    )
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            return pickle.load(f)
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # light session, synth only
+    from dude_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling_control")
+    pages = bench.replicated_pages(spark, bench.SF_DIR, replicate, pad=pad)
+    rows = [
+        zlib.compress(bytes(r["html"]), 1)
+        for r in pages.select("html").collect()
+    ]
+    spark.stop()
+    with open(cache, "wb") as f:
+        pickle.dump(rows, f)
+    return rows
 
 
 def main() -> None:
     global ROWS
     replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     pad = int(sys.argv[2]) if len(sys.argv) > 2 else int(os.environ.get("SPARK_GRAFT_PAD", "150"))
+    levels = (
+        [int(x) for x in sys.argv[3].split(",")]
+        if len(sys.argv) > 3
+        else [1, 2, 4, 8, 16, 32]
+    )
 
-    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # light session just to synthesize
-    from dude_spark.session import get_spark
-    import bench
-
-    spark = get_spark(app_name="scaling_control")
-    pages = bench.replicated_pages(spark, bench.SF_DIR, replicate, pad=pad)
-    ROWS = [bytes(r["html"]) for r in pages.select("html").collect()]
-    spark.stop()
+    ROWS = _load_rows(replicate, pad)
 
     mp.set_start_method("fork", force=True)
     n = len(ROWS)
     out = {}
-    for procs in (1, 2, 4, 8, 16, 32):
+    for procs in levels:
         t0 = time.time()
         with mp.Pool(procs) as p:
             done = sum(p.map(_parse_range, [(i, n, procs) for i in range(procs)]))
         dt = time.time() - t0
         out[procs] = round(done / dt, 1)
-    print(json.dumps({
-        "pages": n,
-        "pad": pad,
-        "pages_per_sec_by_procs": out,
-        "speedup_1_to_8": round(out[8] / out[1], 2),
-        "speedup_8_to_32": round(out[32] / out[8], 2),
-        "eff_2_to_8": round(out[8] / out[2] / 4, 3),
-        "eff_8_to_32": round(out[32] / out[8] / 4, 3),
-    }))
+    res = {"pages": n, "pad": pad, "pages_per_sec_by_procs": out}
+    if 1 in out and 8 in out:
+        res["speedup_1_to_8"] = round(out[8] / out[1], 2)
+    if 2 in out and 8 in out:
+        res["eff_2_to_8"] = round(out[8] / out[2] / 4, 3)
+    if 8 in out and 32 in out:
+        res["speedup_8_to_32"] = round(out[32] / out[8], 2)
+        res["eff_8_to_32"] = round(out[32] / out[8] / 4, 3)
+    print(json.dumps(res))
 
 
 if __name__ == "__main__":
