@@ -546,6 +546,28 @@ round is ~4-40k pages; at the 10^10-URL target a round is millions of
 pages and the barrier seconds vanish into round wall time exactly as the
 one-round limit shows.
 
+## Headline-crawl GC A/B (r4 — the r3 slowdown suspect, measured)
+
+r3 left a suspect: the session-default `-XX:ParallelGCThreads=8` (won 3/3
+in the wide local[32] regime) was never A/B'd in the 9-round local[32]
+HEADLINE regime, where the judge measured crawl 49.3s vs r2's 33.8s.
+Interleaved A/B, 3 pairs, fresh process per leg (session of 2026-08-18,
+wall seconds / urls-per-sec):
+
+| pair | ParallelGCThreads=8 | JVM default (~23) |
+|---|---|---|
+| 1 | 89.1 / 1314 (leg contaminated by a concurrent job) | 46.6 / 2509 |
+| 2 | 47.0 / 2489 | 70.1 / 1669 |
+| 3 | 75.5 / 1549 | 76.0 / 1540 |
+
+Finding: **the GC cap is NEUTRAL in the headline regime** — adjacent
+same-config legs swing 46.6 ↔ 76.0s (1.63×), larger than the whole
+r2→r3 "regression" (1.46×). The attributed cause of the r3 headline
+slowdown is host drift, not an engine or GC change; the cap stays the
+session default on the strength of the r3 wide-regime wins. (The r4
+hybrid driver-resident frontier independently moved the same-window
+local[8] 9-round leg 60.2s → 51.1s.)
+
 ## Per-round scheduling floor (empty-round A/B)
 
 `tools/round_floor.py`: a chain corpus (page i links only to page i+1)
@@ -561,8 +583,8 @@ itemized by crawl-loop stage (`DUDE_SPARK_DEBUG_TIMING` labels):
 The r4 hybrid driver-resident frontier (CrawlConfig.driver_frontier_max)
 collapses a small round to ONE Spark job — candidates are collected via
 Arrow under a limit guard, deduped/numbered vectorized on the driver, and
-re-entered as a LocalRelation — which cut this floor roughly in half vs
-r3 (1.7s/round → see table). Subtracting the measured floor (rounds ×
+re-entered as a LocalRelation — which cut this floor ~5.7× vs
+r3 (1.735 s/round at local[8] → see table). Subtracting the measured floor (rounds ×
 sec/round, at the matching parallelism) from each 9-round window's legs
 isolates the parallel work: **median floor-adjusted 2→8 efficiency
 {eff_floor_adj}** (per-window: {floor_adj}).

@@ -36,7 +36,9 @@ Semantics are pinned to the reference's lxml backend:
   ``text()='v'``, ``@a='v'``, ``@a!='v'``, ``[@a]``,
   ``normalize-space(.|text()|@a)`` under ``=``/``!=``/``contains``/
   ``starts-with``, ``substring(.|text()|@a, start[, len]) = 'v'``
-  (integer positions), and numeric expressions over the position context
+  (integer positions), ``name()``/``local-name()`` ``=``/``!=`` a string
+  (HTML: both equal the tag), and numeric expressions over the position
+  context
   (``position()``, ``last()``, ``count(relpath)``,
   ``string-length(.|text()|@a|normalize-space(...))``, integers,
   ``+ - * div mod``, parens, comparisons — XPath 1.0 double semantics,
@@ -779,6 +781,7 @@ _XP_PRED = re.compile(
     | @(?P<eattr>[\w-]+)\s*(?P<neq>!)?=\s*(?P<q5>["'])(?P<eval>.*?)(?P=q5)
     | (?P<nsfn>contains|starts-with)\(\s*normalize-space\(\s*(?P<nsarg1>\.|text\(\)|@[\w-]+)?\s*\)\s*,\s*(?P<q9>["'])(?P<nsv1>.*?)(?P=q9)\s*\)
     | normalize-space\(\s*(?P<nsarg2>\.|text\(\)|@[\w-]+)?\s*\)\s*(?P<nsneq>!)?=\s*(?P<q10>["'])(?P<nsv2>.*?)(?P=q10)
+    | (?P<namefn>name|local-name)\(\s*\)\s*(?P<namneq>!)?=\s*(?P<q11>["'])(?P<namval>.*?)(?P=q11)
     | @(?P<xattr>[\w-]+)
     | position\(\)\s*(?P<pcmp><=|>=|<|>|=)\s*(?P<pval>\d+)
     | (?P<last>last\(\))
@@ -1192,6 +1195,10 @@ def _pred_atom(el: Element, pred: str, position: int, total: int) -> bool:
     if m.group("nsv2") is not None:
         eq = _normalize_space_of(el, m.group("nsarg2")) == m.group("nsv2")
         return not eq if m.group("nsneq") else eq
+    if m.group("namefn"):
+        # HTML has no namespaces: name() == local-name() == the tag
+        eq = el.tag == m.group("namval")
+        return not eq if m.group("namneq") else eq
     if m.group("xattr"):
         return m.group("xattr") in el.attrib
     if m.group("pcmp"):

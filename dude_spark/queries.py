@@ -670,6 +670,13 @@ def q_xpath_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sub(element):
         return {"t": "sub", "v": element.text_content()}
 
+    # name()/local-name() (r4): wildcard step narrowed by node name —
+    # the group's <a> child via name(), its <p> children via local-name()
+    @app.select(xpath=".//div[@class='custom-group']/*[name() = 'a']"
+                      "/*[local-name() != 'span']")
+    def nam(element):
+        return {"t": "nam", "v": element.text_content()}
+
     ext = _extract_once(spark, sf_dir, app)
     return ext.filter(F.col("kind") == "data").select(
         "page_url",
@@ -713,6 +720,8 @@ FROM (SELECT *, unnest(generate_series(1, 2)) AS c FROM layout)
 WHERE 2 * local + c < n_local AND length('page-' || (2 * local + c) || '.html') = 11
 UNION ALL
 SELECT url, 'sub', 'Self' FROM layout
+UNION ALL
+SELECT url, 'nam', 'Title ' || doc_id || '-' || k FROM ks
 """
 
 

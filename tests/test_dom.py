@@ -80,7 +80,7 @@ def test_unsupported_selectors_raise():
         xpath_select(root, "following-sibling::div")  # no leading / or //
     root2 = parse_html("<section><div><p>x</p></div></section>")
     with pytest.raises(ValueError):
-        xpath_select(root2, ".//div[name() = 'div']")  # node-name fn: unsupported
+        xpath_select(root2, ".//div[string(@x) = 'y']")  # string(): unsupported
 
 
 def test_css_attribute_operators():
@@ -390,3 +390,23 @@ def test_css_unsupported_pseudo_still_raises():
         css_select(root, "div:hover")
     with pytest.raises(ValueError):
         css_select(root, "div:nth-acid(2)")
+
+
+def test_xpath_name_local_name():
+    root = parse_html(
+        "<html><body><div><p>a</p><span>b</span><p>c</p></div></body></html>"
+    )
+    assert [
+        e.text_content() for e in xpath_select(root, ".//div/*[name() = 'p']")
+    ] == ["a", "c"]
+    assert [
+        e.text_content()
+        for e in xpath_select(root, ".//div/*[local-name() != 'p']")
+    ] == ["b"]
+    assert [
+        e.text_content()
+        for e in xpath_select(root, ".//*[name()='span' or name()='p']")
+    ] == ["a", "b", "c"]
+    # name() with an argument stays out of the subset and raises
+    with pytest.raises(ValueError):
+        xpath_select(root, ".//div[name(@x) = 'div']")

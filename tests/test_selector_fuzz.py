@@ -496,7 +496,7 @@ CSS_UNSUPPORTED = [
     ":focus-within", "div:dir(ltr)", "div:has(a", ":is(div,, p)",
 ]
 XPATH_UNSUPPORTED = [
-    ".//div[name() = 'div']", ".//div[lang('en')]",
+    ".//div[name(@x) = 'div']", ".//div[lang('en')]",
     ".//div[substring-after(@x, 'a') = 'b']", ".//div[$var = 1]",
     ".//div[string(@x) = 'y']", ".//div[translate(@x, 'a', 'b') = 'b']",
     ".//div[number(@x) = 1]", "div/p",  # no leading / or //
