@@ -50,6 +50,7 @@ from .politeness import (
     INLINE_ROBOTS_MAX,
     adblock_blocked_expr,
     compile_robots,
+    compile_robots_rows,
     fast_budget_rank,
     inline_robots_cols,
     robots_gate,
@@ -408,11 +409,19 @@ class CrawlJob:
         compiled_robots = None
         delayed_hosts: List[str] = []
         if self.robots is not None and not cfg.ignore_robots_txt:
-            compiled = compile_robots(self.robots)
-            head = compiled.take(INLINE_ROBOTS_MAX + 1)
-            if len(head) <= INLINE_ROBOTS_MAX:
+            # size-probe the RAW dim (no python UDF in the probe): a small
+            # dim is compiled entirely driver-side — parsing ≤64 tiny text
+            # files is microseconds, while the former compile-then-take
+            # spark pass cost two single-task sub-jobs (~5s at local[32])
+            # of pure serial floor per crawl. Big dims stay distributed.
+            raw_head = self.robots.select("host", "robots_txt").take(
+                INLINE_ROBOTS_MAX + 1
+            )
+            if len(raw_head) <= INLINE_ROBOTS_MAX:
                 allowed_set = set(allowed)
-                robots_rows = [r for r in head if r["host"] in allowed_set]
+                robots_rows = compile_robots_rows(
+                    [r for r in raw_head if r["host"] in allowed_set]
+                )
                 delayed_hosts = sorted(
                     r["host"] for r in robots_rows if r["crawl_delay"]
                 )
@@ -422,7 +431,7 @@ class CrawlJob:
                     if r["crawl_delay"]
                 }
             else:
-                compiled_robots = compiled.cache()
+                compiled_robots = compile_robots(self.robots).cache()
                 delayed = (
                     compiled_robots.filter("crawl_delay > 0")
                     .select("host", "crawl_delay")

@@ -419,3 +419,36 @@ def test_local_relation_nullable_ints(spark):
         [(r["a"], r["b"]) for r in df.collect()],
         key=lambda t: t[1],
     ) == [(1, "x"), (None, "y")]
+
+
+def test_distributed_robots_path_parity(spark, crawl_result):
+    """>INLINE_ROBOTS_MAX hosts routes robots through the distributed
+    compile + broadcast-join gate (compile_robots/robots_gate) instead of
+    the constant-folded inline chains. Pad the dim with dummy hosts the
+    crawl never visits to force that path; trace and results must be
+    byte-identical to the inline run."""
+    import pandas as pd
+
+    from dude_spark.politeness import INLINE_ROBOTS_MAX
+
+    res_inline, pages = crawl_result
+    base = robots_df(spark).collect()
+    pad = [
+        (f"pad-{i}.example", "User-Agent: *\nDisallow: /\n", 0)
+        for i in range(INLINE_ROBOTS_MAX + 4 - len(base))
+    ]
+    big = spark.createDataFrame(
+        [(r["host"], r["robots_txt"], r["crawl_delay"]) for r in base] + pad,
+        "host string, robots_txt string, crawl_delay int",
+    )
+    job = CrawlJob(
+        spark, make_scraper(), pages, robots=big,
+        config=CrawlConfig(follow_urls=True, max_rounds=40, round_seconds=3600),
+    )
+    res = job.run(seeds())
+    t = lambda r: [
+        (x["url"], x["depth"], x["seq"])
+        for x in r.trace.orderBy("seq").collect()
+    ]
+    assert t(res) == t(res_inline)
+    assert res.results.count() == res_inline.results.count()
