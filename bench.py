@@ -266,13 +266,24 @@ def run_suite(master: str | None = None) -> dict:
         "replicate": REPLICATE,
     }
     # attach the latest two-cluster-size scaling summary (the north_rule
-    # gate) so BENCH_r*.json carries it; regenerated by `bench.py --scaling`
+    # gate) so BENCH_r*.json carries it; regenerated by `bench.py --scaling`.
+    # SCALARS ONLY: the driver records the 2000-char TAIL of stdout, and the
+    # full per-window blob (BENCH/scaling.json, several KB) pushed the
+    # headline numbers out of r4's capture ("parsed": null). Per-window rows
+    # live in BENCH/scaling.json + BENCH/BASELINE.md.
     scaling_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json"
     )
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            out["scaling"] = json.load(f)
+            full = json.load(f)
+        out["scaling"] = {
+            k: v for k, v in full.items()
+            if isinstance(v, (int, float, str)) or k.endswith("_windows")
+        }
+        for small in ("floor_sec_per_round", "state_dir_leg"):
+            if small in full:
+                out["scaling"][small] = full[small]
     return out
 
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Union
 
@@ -164,6 +165,29 @@ class CrawlResult:
     metrics: List[RoundMetrics] = field(default_factory=list)
 
 
+@contextmanager
+def _conf_override(spark: SparkSession, pairs: dict):
+    """Set runtime SQL confs for one driver-side operation, then restore.
+
+    The crawl loop is the only writer (single-threaded driver assumption:
+    Spark's own runtime-conf is session-global, so a concurrent planner
+    thread COULD observe the temporary value — acceptable here because the
+    loop owns its session for the duration of ``crawl()``; documented per
+    ADVICE r4)."""
+    conf = spark.conf
+    old = {k: conf.get(k, None) for k in pairs}
+    for k, v in pairs.items():
+        conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                conf.set(k, v)
+            else:
+                conf.unset(k)
+
+
 def _local_relation(spark: SparkSession, pdf, ddl: str) -> DataFrame:
     """True LocalRelation (``LocalTableScan``) from a pandas frame.
 
@@ -176,15 +200,10 @@ def _local_relation(spark: SparkSession, pdf, ddl: str) -> DataFrame:
     conversion (the session default of 128 rows exists for ~150 KB page
     payloads, not 10-column frontier rows; at 128 a 15k-row frontier would
     shred into ~120 batches/partitions)."""
-    conf = spark.conf
-    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    old = conf.get(key, None)
-    conf.set(key, "8388608")
-    try:
+    with _conf_override(
+        spark, {"spark.sql.execution.arrow.maxRecordsPerBatch": "8388608"}
+    ):
         return spark.createDataFrame(pdf, ddl)
-    finally:
-        if old is not None:
-            conf.set(key, old)
 
 
 def assign_global_seq(
@@ -828,8 +847,15 @@ class CrawlJob:
                 # of a wide round's candidates is ~1-2s of single-threaded
                 # driver time — pure serial fraction on the scaling curve.
                 # The Arrow table lands in columnar batches and every step
-                # below is vectorized.
-                cand_tbl = anti_plan.toArrow()
+                # below is vectorized. initialNumPartitions is scoped HERE
+                # (not session-wide, ADVICE r4): this one limit-guarded
+                # collect should scan all partitions in ONE job instead of
+                # the incremental 1-then-4× executeTake ramp, but unrelated
+                # small .take()/.isEmpty() queries should keep the default.
+                with _conf_override(
+                    spark, {"spark.sql.limit.initialNumPartitions": "4096"}
+                ):
+                    cand_tbl = anti_plan.toArrow()
                 _t('cand_collect', _since)
                 if cand_tbl.num_rows <= cfg.driver_frontier_max:
                     import numpy as np

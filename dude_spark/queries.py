@@ -1398,12 +1398,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("long"),
         F.col("n_tokens").cast("long"),
-        "mean_word_len", "stopword_ratio", "alpha_ratio", "dup_token_ratio", "quality",
+        "mean_word_len_ppm", "stopword_ppm", "alpha_ppm", "dup_token_ppm",
+        "quality_ppm",
     )
 
 
 _STOP_SQL = "['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','for','on','as','at','by','from']"
 
+# floor-scaled ppm BIGINT twins of the RAW double features (not
+# round(x, 6)): each feature is one IEEE division of exact integers and
+# the composite is the same fixed sequence of double ops on both engines,
+# so floor cannot diverge — round()'s half-tie semantics can (ADVICE r3 /
+# VERDICT r4 #3). Constants are ::DOUBLE-cast so DuckDB never computes in
+# DECIMAL arithmetic (all constants are exactly representable doubles).
 ORACLE_QUALITY = f"""
 WITH t AS (
   SELECT doc_id, text,
@@ -1411,15 +1418,21 @@ WITH t AS (
   FROM documents
 ), f AS (
   SELECT doc_id, len(toks) AS n,
-    round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(toks), 6) AS mean_word_len,
-    round(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0 / len(toks), 6) AS stopword_ratio,
-    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio,
-    round(1 - len(list_distinct(toks)) * 1.0 / len(toks), 6) AS dup_token_ratio
+    length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(toks) AS mean_word_len,
+    len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0 / len(toks) AS stopword_ratio,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1) AS alpha_ratio,
+    1.0::DOUBLE - len(list_distinct(toks)) * 1.0 / len(toks) AS dup_token_ratio
   FROM t
 )
-SELECT doc_id, n AS n_tokens, mean_word_len, stopword_ratio, alpha_ratio, dup_token_ratio,
-       round(least(mean_word_len / 5.0, 1.0) * least(stopword_ratio * 2 + 0.5, 1.0)
-             * alpha_ratio * (1 - dup_token_ratio * 0.5), 6) AS quality
+SELECT doc_id, n AS n_tokens,
+       floor(mean_word_len * 1000000)::BIGINT AS mean_word_len_ppm,
+       floor(stopword_ratio * 1000000)::BIGINT AS stopword_ppm,
+       floor(alpha_ratio * 1000000)::BIGINT AS alpha_ppm,
+       floor(dup_token_ratio * 1000000)::BIGINT AS dup_token_ppm,
+       floor(least(mean_word_len / 5.0::DOUBLE, 1.0::DOUBLE)
+             * least(stopword_ratio * 2.0::DOUBLE + 0.5::DOUBLE, 1.0::DOUBLE)
+             * alpha_ratio * (1.0::DOUBLE - dup_token_ratio * 0.5::DOUBLE)
+             * 1000000)::BIGINT AS quality_ppm
 FROM f
 """
 

@@ -53,11 +53,11 @@ def get_spark(
             "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
         )
         .config("spark.locality.wait", "0s")
-        # limit-guarded collects (the crawl's hybrid small-round path) should
-        # scan ALL partitions in ONE job: the default incremental executeTake
-        # (1 partition, then 4×, …) pays a full job-scheduling round-trip per
-        # step, which is exactly the per-round floor the hybrid path removes
-        .config("spark.sql.limit.initialNumPartitions", "4096")
+        # NOTE: spark.sql.limit.initialNumPartitions is deliberately NOT set
+        # here. The crawl loop's hybrid collect scopes it to its own
+        # limit-guarded job (crawl.py _conf_override) — session-wide it made
+        # every unrelated small .take()/.isEmpty() scan all partitions in
+        # one job (ADVICE r4).
         # The defaults batch 10k rows per in-memory-columnar cache batch and
         # compress each column: with ~50KB html blobs that is a ~500MB
         # builder per batch × one per task — measured 85s + a multi-hundred-

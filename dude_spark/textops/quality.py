@@ -42,35 +42,46 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     - stopword ratio (natural text ≈ 0.2-0.6)
     - alpha ratio (letters / chars)
     - duplicate-token ratio (1 - distinct/total) — boilerplate signal
-    Score = product of clamped feature terms, rounded 6dp.
+    Score = product of clamped feature terms.
+
+    Cross-engine portability: every published numeric column is a
+    floor-scaled integer twin (floor(x·1e6) as BIGINT) of the RAW double
+    feature — each feature is one IEEE division of exact integers, and the
+    composite is the same fixed sequence of double ops on bit-identical
+    inputs, so floor cannot diverge between Spark and DuckDB — unlike
+    round(x, 6), whose half-tie semantics differ (Spark rounds the
+    shortest decimal repr HALF_UP, DuckDB rounds the binary value; the
+    q_pagerank 0.0004275 case). Same pattern as gopher_repetition's ppm
+    twins below.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n = F.size(toks)
-    mean_wl = F.round(F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n, 6)
+    mean_wl = F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    stop_ratio = F.round(n_stop / n, 6)
-    alpha_ratio = F.round(
-        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-        / F.greatest(F.length(F.col(text_col)), F.lit(1)),
-        6,
-    )
-    dup_ratio = F.round(1 - F.size(F.array_distinct(toks)) / n, 6)
-    score = F.round(
+    stop_ratio = n_stop / n
+    alpha_ratio = F.length(
+        F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")
+    ) / F.greatest(F.length(F.col(text_col)), F.lit(1))
+    dup_ratio = 1 - F.size(F.array_distinct(toks)) / n
+    score = (
         F.least(mean_wl / 5.0, F.lit(1.0))
         * F.least(stop_ratio * 2 + 0.5, F.lit(1.0))
         * alpha_ratio
-        * (1 - dup_ratio * 0.5),
-        6,
+        * (1 - dup_ratio * 0.5)
     )
+
+    def ppm(c):
+        return F.floor(c * F.lit(1_000_000)).cast("bigint")
+
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
-        mean_wl.alias("mean_word_len"),
-        stop_ratio.alias("stopword_ratio"),
-        alpha_ratio.alias("alpha_ratio"),
-        dup_ratio.alias("dup_token_ratio"),
-        score.alias("quality"),
+        ppm(mean_wl).alias("mean_word_len_ppm"),
+        ppm(stop_ratio).alias("stopword_ppm"),
+        ppm(alpha_ratio).alias("alpha_ppm"),
+        ppm(dup_ratio).alias("dup_token_ppm"),
+        ppm(score).alias("quality_ppm"),
     )
 
 
