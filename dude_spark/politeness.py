@@ -361,13 +361,14 @@ def _abp_parse_line(line: str):
 
 
 def _registrable(host):
-    """Registrable-domain approximation: the last two dot-labels (PSL-less
-    — exact for .com/.test/.org-style TLDs, conservative for multi-label
-    suffixes like .co.uk, which would need a public-suffix table; at that
-    point ship the PSL as a broadcast dimension). Single-label hosts map to
-    themselves."""
-    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return F.when(two == "", host).otherwise(two)
+    """Registrable domain (eTLD+1) per the public-suffix list — see
+    :mod:`dude_spark.psl` (embedded common-suffix subset by default; ship
+    the full list via ``psl.load_public_suffix_list``). Exact for
+    .co.uk-style multi-label suffixes, matching ``braveblock``'s
+    ``$third-party`` semantics (reference ``optional/utils.py:31-46``)."""
+    from .psl import registrable
+
+    return registrable(host)
 
 
 def _ctx_condition(ctx: dict, source_col: str):

@@ -1075,13 +1075,35 @@ def q_adblock_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source = themselves), odd ones third-party (source = next host). So
     the ``$third-party`` rule blocks only host-5's odd pages, the
     ``$domain=host-7.test`` rule blocks only host-6's page-3 (its referrer
-    is host-7), and a ``$third-party`` rule on even pages blocks nothing."""
+    is host-7), and a ``$third-party`` rule on even pages blocks nothing.
+
+    Multi-label-suffix leg (VERDICT r4 #6): host-9's pages move to
+    ``shop.host-9.co.uk``, referred from ``www.host-9.co.uk`` (even pages)
+    or ``www.host-10.co.uk`` (odd). Under the PSL, registrable(source)
+    is host-9.co.uk vs host-10.co.uk — odd pages are third-party and the
+    ``||host-9.co.uk^$third-party`` rule blocks them; a last-two-labels
+    approximation sees co.uk == co.uk (first-party) and blocks NOTHING, so
+    this row discriminates PSL-correct ``$third-party`` (psl.py)."""
     from .politeness import adblock_filter
 
     pages = pages_df(spark, sf_dir)
+    on_couk = F.col("host_id") == 9
+    url = F.when(
+        on_couk,
+        F.format_string(
+            "https://shop.host-9.co.uk/page-%d.html", F.col("local").cast("int")
+        ),
+    ).otherwise(F.col("url"))
     frontier = pages.select(
-        "url",
-        F.when(F.col("local") % 2 == 0, F.col("url"))
+        url.alias("url"),
+        F.when(
+            on_couk,
+            F.when(
+                F.col("local") % 2 == 0,
+                F.lit("https://www.host-9.co.uk/index.html"),
+            ).otherwise(F.lit("https://www.host-10.co.uk/index.html")),
+        )
+        .when(F.col("local") % 2 == 0, F.col("url"))
         .otherwise(
             F.format_string(
                 "https://host-%d.test/page-%d.html",
@@ -1097,6 +1119,7 @@ def q_adblock_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         r"/page-2[0-9]\.html$/",
         r"@@/host-3\.test/page-0/",  # exception: host-3's root page survives
         "||host-5.test^$third-party",     # odd (third-party-referred) pages only
+        "||host-9.co.uk^$third-party",    # PSL leg: odd pages of the co.uk host
         "page-3.html$domain=host-7.test",  # only when referred FROM host-7
         "page-6.html$third-party",        # even page: first-party → never blocks
     ]
@@ -1104,12 +1127,20 @@ def q_adblock_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ADBLOCK = LAYOUT_CTE + """
-SELECT url FROM layout
+, fr AS (
+  SELECT CASE WHEN host_id = 9
+              THEN 'https://shop.host-9.co.uk/page-' || local || '.html'
+              ELSE url END AS url,
+         host_id, local
+  FROM layout
+)
+SELECT url FROM fr
 WHERE NOT (
   (host_id = 3
    OR regexp_matches(url, 'page\\-1\\.html')
    OR regexp_matches(url, 'page-2[0-9]\\.html$')
    OR (host_id = 5 AND local % 2 = 1)
+   OR (host_id = 9 AND local % 2 = 1)
    OR (host_id = 6 AND local = 3))
   AND NOT regexp_matches(url, 'host-3\\.test/page-0')
 )
