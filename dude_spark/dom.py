@@ -340,8 +340,8 @@ _CSS_TOKEN = re.compile(
     (?P<tag>\*|[a-zA-Z][\w-]*)
   | \.(?P<cls>[\w-]+)
   | \#(?P<id>[\w-]+)
-  | \[(?P<attr>[\w-]+)(?:(?P<op>[~^$*|]?=)(?P<quote>["']?)(?P<val>[^\]"']*?)(?P=quote)(?:\s+(?P<aflag>[iIsS]))?)?\s*\]
-  | :(?P<pseudo>[\w-]+)(?:\((?P<parg>[^()]*)\))?
+  | \[(?P<attr>[\w-]+)(?:(?P<op>[~^$*|]?=)(?:"(?P<dval>[^"]*)"|'(?P<sval>[^']*)'|(?P<val>[^\]"'\s]*))(?:\s+(?P<aflag>[iIsS]))?)?\s*\]
+  | :(?P<pseudo>[\w-]+)(?:\((?P<parg>[^()"']*)\))?  # quoted/nested args → balanced rescan
     """,
     re.VERBOSE,
 )
@@ -365,6 +365,23 @@ def _parse_nth(arg: str) -> Tuple[int, int]:
     a = 1 if a_s in ("", "+") else (-1 if a_s == "-" else int(a_s))
     b = int(m.group("b").replace(" ", "")) if m.group("b") else 0
     return a, b
+
+
+def _parse_nth_pseudo(kind: str, arg: str) -> tuple:
+    """``:nth-child()``/``:nth-last-child()`` argument → pseudo tuple.
+
+    Plain ``An+B|odd|even`` → ``(kind, a, b)``; the CSS4
+    ``An+B of <selector-list>`` form (index counted among siblings
+    matching the list) → ``(kind, a, b, [chain, ...])``.
+    """
+    parts = _split_top(arg, "of")
+    if len(parts) == 1:
+        return (kind, *_parse_nth(arg))
+    if len(parts) != 2:
+        raise ValueError(f"unsupported :{kind}-child() argument: {arg!r}")
+    a, b = _parse_nth(parts[0])
+    chains = [_parse_css_chain(p) for p in _split_selector_list(parts[1])]
+    return (kind, a, b, chains)
 
 
 class _Compound:
@@ -417,7 +434,28 @@ class _Compound:
             kind = ps[0]
             if kind in ("nth", "nth-type", "nth-last", "nth-last-type"):
                 a, b = ps[1], ps[2]
-                idx, n = self._sibling_position(el, kind.endswith("type"))
+                if len(ps) == 4:
+                    # An+B `of S`: index among siblings matching the
+                    # selector list (el itself must match S)
+                    root = _doc_root(el)
+                    chains = ps[3]
+
+                    def _of(x: Element) -> bool:
+                        return any(
+                            _css_chain_matches(x, ch, root) for ch in chains
+                        )
+
+                    if not _of(el):
+                        return False
+                    p = el.parent
+                    sibs = [
+                        c
+                        for c in (p.children if p is not None else [el])
+                        if isinstance(c, Element) and _of(c)
+                    ]
+                    idx, n = sibs.index(el) + 1, len(sibs)
+                else:
+                    idx, n = self._sibling_position(el, kind.endswith("type"))
                 if kind.startswith("nth-last"):
                     idx = n - idx + 1  # :nth-last-*: position from the end
                 if a == 0:
@@ -547,16 +585,24 @@ def _doc_root(el: Element) -> Element:
 
 def _split_selector_list(expr: str) -> List[str]:
     """Split a selector list on top-level commas only (commas inside
-    ``()``/``[]`` — e.g. ``:is(a, b)`` — belong to the nested selector)."""
+    ``()``/``[]`` — e.g. ``:is(a, b)`` — belong to the nested selector).
+    Quote-aware: brackets/commas inside ``"..."``/``'...'`` (attribute
+    values like ``[title="a]b"]``) don't affect nesting depth."""
     parts: List[str] = []
     depth = 0
+    q: Optional[str] = None
     buf = ""
     for ch in expr:
-        if ch in "([":
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "\"'":
+            q = ch
+        elif ch in "([":
             depth += 1
         elif ch in ")]":
             depth -= 1
-        if ch == "," and depth == 0:
+        if ch == "," and depth == 0 and q is None:
             parts.append(buf)
             buf = ""
         else:
@@ -607,7 +653,12 @@ def _parse_compound(s: str) -> _Compound:
                 comp.attrs.append(("id", "=", m.group("id")))
         elif m.group("attr"):
             op = m.group("op") or "="
-            val = m.group("val")
+            if m.group("dval") is not None:
+                val = m.group("dval")
+            elif m.group("sval") is not None:
+                val = m.group("sval")
+            else:
+                val = m.group("val")
             # `[attr="v" i]`: ASCII case-insensitive value match (CSS4);
             # `s` forces the case-sensitive default
             if (m.group("aflag") or "").lower() == "i" and val is not None:
@@ -638,11 +689,11 @@ def _parse_compound(s: str) -> _Compound:
             elif name == "last-of-type":
                 comp.pseudos.append(("last-type",))
             elif name == "nth-child" and arg is not None:
-                comp.pseudos.append(("nth", *_parse_nth(arg)))
+                comp.pseudos.append(_parse_nth_pseudo("nth", arg))
             elif name == "nth-of-type" and arg is not None:
                 comp.pseudos.append(("nth-type", *_parse_nth(arg)))
             elif name == "nth-last-child" and arg is not None:
-                comp.pseudos.append(("nth-last", *_parse_nth(arg)))
+                comp.pseudos.append(_parse_nth_pseudo("nth-last", arg))
             elif name == "nth-last-of-type" and arg is not None:
                 comp.pseudos.append(("nth-last-type", *_parse_nth(arg)))
             elif name == "not" and arg is not None:
@@ -675,26 +726,30 @@ def _parse_css_chain(sel: str) -> List[Tuple[str, _Compound]]:
     while i < len(sel):
         ch = sel[i]
         if ch == "[":
-            j = sel.index("]", i)
+            # quote-aware ']' scan: [title="a]b"] must not cut at the
+            # quoted bracket
+            q: Optional[str] = None
+            j = i + 1
+            while j < len(sel):
+                c = sel[j]
+                if q:
+                    if c == q:
+                        q = None
+                elif c in "\"'":
+                    q = c
+                elif c == "]":
+                    break
+                j += 1
+            if j >= len(sel):
+                raise ValueError(f"unbalanced '[' in CSS selector: {sel!r}")
             buf += sel[i : j + 1]
             i = j + 1
         elif ch == "(":
-            # balanced scan — :has(em:nth-child(2)) nests parens, so the
-            # first ')' is not necessarily the matching one
-            depth = 0
-            j = i
-            while j < len(sel):
-                if sel[j] == "(":
-                    depth += 1
-                elif sel[j] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                j += 1
-            if j >= len(sel):
-                raise ValueError(f"unbalanced parens in CSS selector: {sel!r}")
-            buf += sel[i : j + 1]
-            i = j + 1
+            # balanced quote-aware scan — :has(em:nth-child(2)) nests
+            # parens, and [x=")"] hides one in a string
+            j = _balanced_arg(sel, i)
+            buf += sel[i:j]
+            i = j
         elif ch in " >+~":
             if buf:
                 parts.append((combin, _parse_compound(buf)))
@@ -912,7 +967,7 @@ def _validate_pred(pred: str) -> None:
         return _validate_pred(atom[1:-1])
     if atom.startswith("not(") and atom.endswith(")"):
         return _validate_pred(atom[4:-1])
-    if _XP_PRED.match(atom) or _XP_SUBSTR.match(atom):
+    if _XP_PRED.match(atom) or _XP_SUBSTR.match(atom) or _strcmp_match(atom):
         return
     if _numeric_valid(atom):
         return
@@ -1076,10 +1131,21 @@ class _NumParse:
 
 def _valid_strarg(a: str) -> bool:
     """Grammar of string-function arguments: '', '.', 'text()', '@attr',
-    or normalize-space(<any of those>)."""
+    normalize-space(<any of those>), or string(<any of those> | relative
+    location path) — string() of a node-set takes the FIRST node's string
+    value (XPath 1.0 §4.2)."""
     a = a.strip()
     if a.startswith("normalize-space(") and a.endswith(")"):
         return _valid_strarg(a[16:-1])
+    if a.startswith("string(") and a.endswith(")"):
+        inner = a[7:-1].strip()
+        if _valid_strarg(inner):
+            return True
+        try:
+            _parse_xpath(inner if inner.startswith((".", "/")) else "./" + inner)
+            return True
+        except ValueError:
+            return False
     return a in ("", ".", "text()") or re.fullmatch(r"@[\w-]+", a) is not None
 
 
@@ -1128,6 +1194,27 @@ _XP_SUBSTR = re.compile(
     re.VERBOSE,
 )
 
+# string(...) in comparison position: string(X) = 'v', contains(string(X),
+# 'v'), starts-with(string(X), 'v') — X validated via _valid_strarg (which
+# accepts '', '.', text(), @attr, normalize-space(...), nested string(...),
+# or a relative location path whose FIRST node's string value is taken).
+_XP_STRCMP = re.compile(
+    r"""^\s*(?:
+      (?P<fn>contains|starts-with)\(\s*(?P<farg>string\(.*\))\s*,\s*(?P<q1>["'])(?P<fval>.*?)(?P=q1)\s*\)
+    | (?P<earg>string\(.*\))\s*(?P<neq>!)?=\s*(?P<q2>["'])(?P<eval>.*?)(?P=q2)
+    )\s*$""",
+    re.VERBOSE,
+)
+
+
+def _strcmp_match(atom: str):
+    """``_XP_STRCMP`` match with the string() argument grammar-checked;
+    None when the atom is not a (valid) string()-comparison."""
+    m = _XP_STRCMP.match(atom)
+    if m and _valid_strarg(m.group("farg") or m.group("earg")):
+        return m
+    return None
+
 
 def _string_value_of(el: Element, arg: str) -> str:
     """String value of a predicate-function argument: '' / '.' → full text
@@ -1136,6 +1223,17 @@ def _string_value_of(el: Element, arg: str) -> str:
     a = arg.strip()
     if a.startswith("normalize-space(") and a.endswith(")"):
         return " ".join(_string_value_of(el, a[16:-1]).split())
+    if a.startswith("string(") and a.endswith(")"):
+        inner = a[7:-1].strip()
+        if _valid_strarg(inner):
+            return _string_value_of(el, inner)
+        # node-set → string value of the FIRST node in document order
+        # ('' when empty) — XPath 1.0 §4.2 string() conversion
+        nodes = _rel_nodes(el, inner)
+        if not nodes:
+            return ""
+        first = nodes[0]
+        return first.text_content() if isinstance(first, Element) else str(first)
     if a in ("", "."):
         return el.text_content()
     if a == "text()":
@@ -1167,6 +1265,15 @@ def _pred_atom(el: Element, pred: str, position: int, total: int) -> bool:
             )
             eq = v == ms.group("val")
             return not eq if ms.group("neq") else eq
+        mc = _strcmp_match(pred)
+        if mc:
+            v = _string_value_of(el, mc.group("farg") or mc.group("earg"))
+            if mc.group("fn") == "contains":
+                return mc.group("fval") in v
+            if mc.group("fn") == "starts-with":
+                return v.startswith(mc.group("fval"))
+            eq = v == mc.group("eval")
+            return not eq if mc.group("neq") else eq
         r = _numeric_pred(pred, position, total, el)
         if r is not None:
             return r

@@ -572,6 +572,17 @@ def q_css_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     def wherechain(element):
         return {"t": "wherechain", "v": element.text_content()}
 
+    # CSS4 `:nth-child(An+B of S)` (r5): index counted among siblings
+    # matching S — odd-position groups, regardless of interleaved siblings
+    @app.select(css="div:nth-child(2n+1 of .custom-group) > a > p.title")
+    def nthof(element):
+        return {"t": "nthof", "v": element.text_content()}
+
+    # `:nth-last-child(1 of S)` — the LAST group per page
+    @app.select(css="div:nth-last-child(1 of .custom-group) > a > p.title")
+    def nlastof(element):
+        return {"t": "nlastof", "v": element.text_content()}
+
     ext = _extract_once(spark, sf_dir, app)
     return ext.filter(F.col("kind") == "data").select(
         "page_url",
@@ -608,6 +619,10 @@ UNION ALL
 SELECT url, 'isany', 'Description ' || doc_id || '-' || k FROM ks WHERE k != 2
 UNION ALL
 SELECT url, 'wherechain', 'Title ' || doc_id || '-' || k FROM ks WHERE k >= 2
+UNION ALL
+SELECT url, 'nthof', 'Title ' || doc_id || '-' || k FROM ks WHERE k % 2 = 1
+UNION ALL
+SELECT url, 'nlastof', 'Title ' || doc_id || '-' || n_groups FROM layout
 """
 
 
@@ -677,6 +692,18 @@ def q_xpath_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nam(element):
         return {"t": "nam", "v": element.text_content()}
 
+    # string() of a node-set (r5, XPath 1.0 §4.2: FIRST node's string
+    # value; empty node-set → ''): groups with a direct <p> child (the
+    # description, absent for k=2) — string(p) != '' selects them
+    @app.select(xpath=".//div[@class='custom-group'][string(p) != '']/a/p")
+    def strne(element):
+        return {"t": "strne", "v": element.text_content()}
+
+    # string(@attr) in comparison position — next-links by class equality
+    @app.select(xpath=".//a[starts-with(string(@class), 'nex')]")
+    def strattr(element):
+        return {"t": "strattr", "v": element.text_content()}
+
     ext = _extract_once(spark, sf_dir, app)
     return ext.filter(F.col("kind") == "data").select(
         "page_url",
@@ -722,6 +749,12 @@ UNION ALL
 SELECT url, 'sub', 'Self' FROM layout
 UNION ALL
 SELECT url, 'nam', 'Title ' || doc_id || '-' || k FROM ks
+UNION ALL
+SELECT url, 'strne', 'Title ' || doc_id || '-' || k FROM ks WHERE k != 2
+UNION ALL
+SELECT url, 'strattr', 'Next ' || c
+FROM (SELECT *, unnest(generate_series(1, 2)) AS c FROM layout)
+WHERE 2 * local + c < n_local
 """
 
 

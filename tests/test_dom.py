@@ -80,7 +80,45 @@ def test_unsupported_selectors_raise():
         xpath_select(root, "following-sibling::div")  # no leading / or //
     root2 = parse_html("<section><div><p>x</p></div></section>")
     with pytest.raises(ValueError):
-        xpath_select(root2, ".//div[string(@x) = 'y']")  # string(): unsupported
+        xpath_select(root2, ".//div[boolean(@x)]")  # boolean(): unsupported
+
+
+def test_xpath_string_function():
+    """r5 (VERDICT #8): string(X) in comparison/string-arg position —
+    string-conversion of '', '.', text(), @attr, or a relative location
+    path (node-set → FIRST node's string value, XPath 1.0 §4.2)."""
+    root = parse_html(
+        '<body><div class="y" id="d1"><p>alpha</p><p>beta</p></div>'
+        '<div id="d2"><span>gamma</span></div></body>'
+    )
+    ids = lambda xp: [e.get("id") for e in xpath_select(root, xp)]
+    assert ids(".//div[string(@class) = 'y']") == ["d1"]
+    assert ids(".//div[string(@class) != 'y']") == ["d2"]  # missing → ''
+    assert ids(".//div[contains(string(p), 'alph')]") == ["d1"]  # FIRST p
+    assert ids(".//div[contains(string(p), 'beta')]") == []  # not 2nd node
+    assert ids(".//div[starts-with(string(./span), 'gam')]") == ["d2"]
+    assert ids(".//div[string(span) = '']") == ["d1"]  # empty node-set → ''
+    assert ids(".//div[string-length(string(p)) = 5]") == ["d1"]
+    assert ids(".//div[string() != '']") == ["d1", "d2"]  # context node
+    with pytest.raises(ValueError):
+        xpath_select(root, ".//div[string(@x, 'y')]")  # 2-arg: off-grammar
+
+
+def test_css_nth_child_of_selector():
+    """r5 (VERDICT #8): CSS4 `:nth-child(An+B of S)` — index counted among
+    siblings matching S; el itself must match S."""
+    root = parse_html(
+        '<ul><li class="x" id="a">1</li><li id="b">2</li>'
+        '<li class="x" id="c">3</li><li class="x" id="d">4</li></ul>'
+    )
+    ids = lambda s: [e.get("id") for e in css_select(root, s)]
+    assert ids("li:nth-child(2 of .x)") == ["c"]
+    assert ids("li:nth-child(2n+1 of .x)") == ["a", "d"]
+    assert ids("li:nth-last-child(1 of .x)") == ["d"]
+    assert ids(":nth-child(1 of li)") == ["a"]
+    assert ids('li:nth-child(1 of [id="c"])') == ["c"]
+    with pytest.raises(ValueError):
+        css_select(root, "li:nth-child(2n of)")
 
 
 def test_css_attribute_operators():

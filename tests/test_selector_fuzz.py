@@ -71,6 +71,14 @@ def _descendants(el: Element):
     return out
 
 
+def naive_text_content(el: Element) -> str:
+    """Independent text_content: descendant text in document order."""
+    return "".join(
+        naive_text_content(c) if isinstance(c, Element) else c
+        for c in el.children
+    )
+
+
 # --------------------------------------------------------------------------
 # CSS: AST generation + naive evaluation + rendering
 # --------------------------------------------------------------------------
@@ -82,9 +90,9 @@ def gen_compound(rng: random.Random, allow_not: bool = True) -> dict:
     for _ in range(n_parts):
         kind = rng.choice(
             ["class", "id", "attr", "nth", "first", "last"]
-            # :is/:has only at nesting depth 0 (allow_not doubles as the
-            # nesting guard) — bounded grammar, same as :not
-            + (["not", "is", "has"] if allow_not else [])
+            # :is/:has/:nth-child(An+B of S) only at nesting depth 0
+            # (allow_not doubles as the nesting guard) — bounded grammar
+            + (["not", "is", "has", "nth_of"] if allow_not else [])
         )
         if kind == "class":
             comp["parts"].append(("class", rng.choice(CLASSES)))
@@ -96,6 +104,13 @@ def gen_compound(rng: random.Random, allow_not: bool = True) -> dict:
             comp["parts"].append(("attr", rng.choice(ATTRS), op, val if op else None))
         elif kind == "nth":
             comp["parts"].append(("nth", rng.randint(1, 4)))
+        elif kind == "nth_of":
+            # :nth-child(An+B of S) / :nth-last-child(An+B of S)
+            a = rng.choice([0, 1, 2, 3])
+            b = rng.randint(0 if a else 1, 3)
+            chains = [gen_chain(rng, nested=True)
+                      for _ in range(rng.randint(1, 2))]
+            comp["parts"].append(("nth_of", a, b, chains, rng.random() < 0.5))
         elif kind == "first":
             comp["parts"].append(("first",))
         elif kind == "last":
@@ -129,6 +144,12 @@ def render_compound(comp: dict) -> str:
             s += f"[{name}]" if op == "" else f'[{name}{op}"{val}"]'
         elif k == "nth":
             s += f":nth-child({part[1]})"
+        elif k == "nth_of":
+            _, a, b, chains, is_last = part
+            anb = str(b) if a == 0 else (f"{a}n+{b}" if b else f"{a}n")
+            name = "nth-last-child" if is_last else "nth-child"
+            lst = ", ".join(render_chain(c) for c in chains)
+            s += f":{name}({anb} of {lst})"
         elif k == "first":
             s += ":first-child"
         elif k == "last":
@@ -173,6 +194,30 @@ def match_compound(el: Element, comp: dict) -> bool:
                 ok = val != "" and val in v
             else:  # ~=
                 ok = val in v.split()
+        elif k == "nth_of":
+            _, a, b, chains, is_last = part
+            root = el
+            while root.parent is not None:
+                root = root.parent
+
+            def _of(x: Element) -> bool:
+                return any(match_chain(x, c, root) for c in chains)
+
+            if not _of(el):
+                ok = False
+            else:
+                sibs = (
+                    _elem_children(el.parent) if el.parent is not None else [el]
+                )
+                matched = [s for s in sibs if _of(s)]
+                idx, n = matched.index(el) + 1, len(matched)
+                if is_last:
+                    idx = n - idx + 1
+                if a == 0:
+                    ok = idx == b
+                else:
+                    d = idx - b
+                    ok = d % a == 0 and d // a >= 0
         elif k in ("nth", "first", "last"):
             if el.parent is None:
                 sibs = [el]
@@ -344,7 +389,7 @@ CMP_OPS = ["=", "!=", "<", ">", "<=", ">="]
 
 def gen_pred(rng: random.Random, depth: int = 0):
     kinds = ["posbare", "poscmp", "last", "attr", "attreq", "contains",
-             "count", "strlen"]
+             "count", "strlen", "strpath"]
     if depth < 1:
         kinds += ["and", "or", "not"]
     k = rng.choice(kinds)
@@ -357,14 +402,22 @@ def gen_pred(rng: random.Random, depth: int = 0):
     if k == "attr":
         return ("attr", rng.choice(ATTRS + ["class", "id"]))
     if k == "attreq":
+        # wrap flag: render @a as string(@a) — same semantics (both the
+        # engine and this naive eval use string-conversion for @attr, so a
+        # missing attribute compares as '')
         return ("attreq", rng.choice(ATTRS), rng.choice([v for v in VALS if v]),
-                rng.random() < 0.3)
+                rng.random() < 0.3, rng.random() < 0.4)
     if k == "contains":
-        return ("contains", rng.choice(ATTRS), rng.choice(["on", "e", "al"]))
+        return ("contains", rng.choice(ATTRS), rng.choice(["on", "e", "al"]),
+                rng.random() < 0.4)
     if k == "count":
         return ("count", rng.choice(TAGS), rng.choice(CMP_OPS), rng.randint(0, 3))
     if k == "strlen":
-        return ("strlen", rng.choice(ATTRS), rng.choice(CMP_OPS), rng.randint(0, 6))
+        return ("strlen", rng.choice(ATTRS), rng.choice(CMP_OPS), rng.randint(0, 6),
+                rng.random() < 0.4)
+    if k == "strpath":
+        # node-set string(): string value of the FIRST child named tag
+        return ("strpath", rng.choice(TAGS), rng.choice(["t0", "t1", "t2", "e"]))
     if k == "not":
         return ("not", gen_pred(rng, depth + 1))
     return (k, gen_pred(rng, depth + 1), gen_pred(rng, depth + 1))
@@ -381,13 +434,18 @@ def render_pred(p) -> str:
     if k == "attr":
         return f"@{p[1]}"
     if k == "attreq":
-        return f"@{p[1]} {'!=' if p[3] else '='} '{p[2]}'"
+        arg = f"string(@{p[1]})" if p[4] else f"@{p[1]}"
+        return f"{arg} {'!=' if p[3] else '='} '{p[2]}'"
     if k == "contains":
-        return f"contains(@{p[1]}, '{p[2]}')"
+        arg = f"string(@{p[1]})" if p[3] else f"@{p[1]}"
+        return f"contains({arg}, '{p[2]}')"
     if k == "count":
         return f"count({p[1]}) {p[2]} {p[3]}"
     if k == "strlen":
-        return f"string-length(@{p[1]}) {p[2]} {p[3]}"
+        arg = f"string(@{p[1]})" if p[4] else f"@{p[1]}"
+        return f"string-length({arg}) {p[2]} {p[3]}"
+    if k == "strpath":
+        return f"contains(string({p[1]}), '{p[2]}')"
     if k == "not":
         return f"not({render_pred(p[1])})"
     return f"({render_pred(p[1])}) {k} ({render_pred(p[2])})"
@@ -418,6 +476,9 @@ def eval_pred(p, el: Element, pos: int, total: int) -> bool:
         return cmp[p[2]](n, p[3])
     if k == "strlen":
         return cmp[p[2]](len(el.attrib.get(p[1]) or ""), p[3])
+    if k == "strpath":
+        first = next((c for c in _elem_children(el) if c.tag == p[1]), None)
+        return first is not None and p[2] in naive_text_content(first)
     if k == "not":
         return not eval_pred(p[1], el, pos, total)
     if k == "and":
@@ -492,13 +553,14 @@ def test_xpath_selector_parity_fuzz(block: int) -> None:
 
 CSS_UNSUPPORTED = [
     "div:hover", "a:visited", "p::before", "p::after",
-    "div:lang(en)", "div:nth-child(2n of .x)",
+    "div:lang(en)", "div:nth-child(2n of)", "div:nth-col(2)",
     ":focus-within", "div:dir(ltr)", "div:has(a", ":is(div,, p)",
 ]
 XPATH_UNSUPPORTED = [
     ".//div[name(@x) = 'div']", ".//div[lang('en')]",
     ".//div[substring-after(@x, 'a') = 'b']", ".//div[$var = 1]",
-    ".//div[string(@x) = 'y']", ".//div[translate(@x, 'a', 'b') = 'b']",
+    ".//div[string(@x, 'y')]", ".//div[boolean(@x)]", ".//div[string(p]",
+    ".//div[translate(@x, 'a', 'b') = 'b']",
     ".//div[number(@x) = 1]", "div/p",  # no leading / or //
 ]
 
