@@ -184,6 +184,7 @@ def run_crawl_bench(spark, sf_dir: str, replicate: int) -> dict:
     cfg_overrides = {}
     for env_key, field_name in (
         ("SPARK_GRAFT_BROADCAST_SEEN_MAX", "broadcast_seen_max"),
+        ("SPARK_GRAFT_DRIVER_FRONTIER_MAX", "driver_frontier_max"),
         ("SPARK_GRAFT_BROADCAST_FETCH_MAX", "broadcast_fetch_max"),
         ("SPARK_GRAFT_SEEN_PARTITIONS", "seen_partitions"),
     ):
@@ -324,7 +325,11 @@ def run_scaling() -> None:
     # ENGINE, not the disk.
     scale_rep = os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "8")
     scale_pad = os.environ.get("SPARK_GRAFT_SCALING_PAD", "450")
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    # ≥3 windows per regime: with 2 the median is just the midpoint and one
+    # drift-hit window halves the published number (r4 wide 2→8 windows
+    # disagreed 0.915 vs 0.512); 3+ makes the median the drift-robust
+    # statistic the protocol claims.
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
 
     def run_leg(cpus: str, wide: bool, extra_env: dict | None = None) -> dict:

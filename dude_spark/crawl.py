@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -165,27 +166,36 @@ class CrawlResult:
     metrics: List[RoundMetrics] = field(default_factory=list)
 
 
+_CONF_OVERRIDE_LOCK = threading.RLock()
+
+
 @contextmanager
 def _conf_override(spark: SparkSession, pairs: dict):
     """Set runtime SQL confs for one driver-side operation, then restore.
 
-    The crawl loop is the only writer (single-threaded driver assumption:
-    Spark's own runtime-conf is session-global, so a concurrent planner
-    thread COULD observe the temporary value — acceptable here because the
-    loop owns its session for the duration of ``crawl()``; documented per
-    ADVICE r4)."""
+    Spark's runtime-conf is session-global, so any concurrent planner
+    thread COULD observe the temporary value. A module lock serializes all
+    dude_spark override sections (two concurrent crawls on one session
+    can't interleave set/restore); the residual assumption — user driver
+    threads outside dude_spark don't plan Arrow conversions mid-override —
+    is documented per ADVICE r4 and holds for the single-threaded driver
+    the engine targets."""
     conf = spark.conf
+    _CONF_OVERRIDE_LOCK.acquire()
     old = {k: conf.get(k, None) for k in pairs}
     for k, v in pairs.items():
         conf.set(k, v)
     try:
         yield
     finally:
-        for k, v in old.items():
-            if v is not None:
-                conf.set(k, v)
-            else:
-                conf.unset(k)
+        try:
+            for k, v in old.items():
+                if v is not None:
+                    conf.set(k, v)
+                else:
+                    conf.unset(k)
+        finally:
+            _CONF_OVERRIDE_LOCK.release()
 
 
 def _local_relation(spark: SparkSession, pdf, ddl: str) -> DataFrame:

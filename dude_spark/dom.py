@@ -477,6 +477,19 @@ class _Compound:
                 for c in el.children:
                     if isinstance(c, Element) or (isinstance(c, str) and c):
                         return False
+            elif kind == "lang":
+                cur: Optional[Element] = el
+                av = None
+                while cur is not None:
+                    v = cur.get("lang")
+                    if v is not None:
+                        av = v.lower()
+                        break
+                    cur = cur.parent
+                if av is None or not any(
+                    av == c or av.startswith(c + "-") for c in ps[1]
+                ):
+                    return False
             elif kind == "is":
                 # :is(sel-list) / :where(): matches if ANY selector in the
                 # list matches; complex selectors are matched against the
@@ -705,6 +718,20 @@ def _parse_compound(s: str) -> _Compound:
                 ))
             elif name == "has" and arg is not None:
                 comp.pseudos.append(("has", _parse_has_arg(arg)))
+            elif name == "lang" and arg is not None:
+                # :lang(en) / CSS4 comma list :lang(fr, es). Matches when
+                # the element's inherited language (nearest ancestor-or-
+                # self @lang) equals a code or is a hyphen-extension of it
+                # (XPath lang() semantics, ASCII case-insensitive) — the
+                # lxml.cssselect translation target.
+                codes = [
+                    c.strip().strip("\"'").lower()
+                    for c in arg.split(",")
+                    if c.strip().strip("\"'")
+                ]
+                if not codes:
+                    raise ValueError(f"empty :lang() argument: {arg!r}")
+                comp.pseudos.append(("lang", codes))
             else:
                 raise ValueError(f"unsupported CSS pseudo-class: :{name}")
         pos = next_pos
@@ -971,7 +998,58 @@ def _validate_pred(pred: str) -> None:
         return
     if _numeric_valid(atom):
         return
+    if _path_pred_ok(atom):
+        return
     raise ValueError(f"unsupported XPath predicate: {atom!r}")
+
+
+# strict node-test for location-path predicates: (axis::)?(name|*|..|
+# text()|@attr). The main step tokenizer reads names loosely; existence
+# predicates validate each step against THIS so off-grammar atoms still
+# raise loudly instead of silently becoming empty-node-set → False.
+_XP_NODETEST = re.compile(
+    r"^(?:[\w-]+::)?(?:[\w-]+|\*|\.\.|text\(\)|@[\w-]+)$"
+)
+
+
+def _path_pred_ok(atom: str) -> bool:
+    """True iff ``atom`` is a location-path existence predicate (XPath 1.0
+    boolean conversion of a node-set): ``[p]``, ``[a/p[@class='x']]``,
+    ``[.//div]``, ``[//p]`` (absolute), ``[following-sibling::div]``,
+    ``[a | b]``. Validation = full parse of each union branch (nested
+    predicates recurse) + strict node-test check per step."""
+    p = atom.strip()
+    if not p or p.startswith("@"):
+        return False  # bare @attr is _XP_PRED's; '@a=...' isn't a path
+    try:
+        for br in _split_union(p):
+            b = br.strip()
+            if not b:
+                return False
+            b = b if b.startswith((".", "/")) else "./" + b
+            for step in _parse_xpath(b):
+                if not _XP_NODETEST.match(step.name):
+                    return False
+        return True
+    except ValueError:
+        return False
+
+
+def _path_pred_eval(el: Element, atom: str) -> bool:
+    """Evaluate a location-path existence predicate: non-empty node-set →
+    True. Leading ``//`` is ABSOLUTE (from the document root) per XPath
+    1.0; relative forms evaluate from the context node."""
+    truth = False
+    for br in _split_union(atom.strip()):
+        b = br.strip()
+        if b.startswith("/"):
+            base = _doc_root(el)
+            res = xpath_select(base, "." + b)
+        else:
+            res = xpath_select(el, b if b.startswith(".") else "./" + b)
+        if res:
+            truth = True
+    return truth
 
 
 def _numeric_valid(pred: str) -> bool:
@@ -1277,6 +1355,8 @@ def _pred_atom(el: Element, pred: str, position: int, total: int) -> bool:
         r = _numeric_pred(pred, position, total, el)
         if r is not None:
             return r
+        if _path_pred_ok(pred):
+            return _path_pred_eval(el, pred)
         raise ValueError(f"unsupported XPath predicate: {pred!r}")
     if m.group("cattr"):
         return m.group("cval") in (el.attrib.get(m.group("cattr")) or "")

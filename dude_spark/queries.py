@@ -583,6 +583,16 @@ def q_css_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nlastof(element):
         return {"t": "nlastof", "v": element.text_content()}
 
+    # :lang() (r5) — inherited from the <html lang="..."> root attribute
+    @app.select(css="p.content:lang(en)")
+    def lang_en(element):
+        return {"t": "lang_en", "v": element.text_content()}
+
+    # CSS4 comma-list form
+    @app.select(css="p.content:lang(fr, es)")
+    def lang_fr_es(element):
+        return {"t": "lang_fr_es", "v": element.text_content()}
+
     ext = _extract_once(spark, sf_dir, app)
     return ext.filter(F.col("kind") == "data").select(
         "page_url",
@@ -623,6 +633,10 @@ UNION ALL
 SELECT url, 'nthof', 'Title ' || doc_id || '-' || k FROM ks WHERE k % 2 = 1
 UNION ALL
 SELECT url, 'nlastof', 'Title ' || doc_id || '-' || n_groups FROM layout
+UNION ALL
+SELECT url, 'lang_en', text FROM layout WHERE lang = 'en'
+UNION ALL
+SELECT url, 'lang_fr_es', text FROM layout WHERE lang IN ('fr', 'es')
 """
 
 
@@ -704,6 +718,20 @@ def q_xpath_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     def strattr(element):
         return {"t": "strattr", "v": element.text_content()}
 
+    # location-path existence predicates (r5): child-path with a nested
+    # predicate — groups carrying a description (k != 2) ...
+    @app.select(xpath=".//div[@class='custom-group']"
+                      "[p[@class='description']]/a/p")
+    def pathp(element):
+        return {"t": "pathp", "v": element.text_content()}
+
+    # ... and abbreviated `//` INSIDE the predicate under not() — the
+    # description-less group (k = 2)
+    @app.select(xpath=".//div[@class='custom-group']"
+                      "[not(.//p[@class='description'])]/a/p")
+    def pathd(element):
+        return {"t": "pathd", "v": element.text_content()}
+
     ext = _extract_once(spark, sf_dir, app)
     return ext.filter(F.col("kind") == "data").select(
         "page_url",
@@ -755,6 +783,10 @@ UNION ALL
 SELECT url, 'strattr', 'Next ' || c
 FROM (SELECT *, unnest(generate_series(1, 2)) AS c FROM layout)
 WHERE 2 * local + c < n_local
+UNION ALL
+SELECT url, 'pathp', 'Title ' || doc_id || '-' || k FROM ks WHERE k != 2
+UNION ALL
+SELECT url, 'pathd', 'Title ' || doc_id || '-2' FROM layout WHERE n_groups >= 2
 """
 
 

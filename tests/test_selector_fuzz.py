@@ -36,6 +36,7 @@ TAGS = ["div", "span", "p", "ul", "li", "a", "em", "section"]
 CLASSES = ["alpha", "beta", "gamma", "x1"]
 ATTRS = ["data-x", "href", "title"]
 VALS = ["one", "two", "three", "al-pha", ""]
+LANGS = ["en", "en-US", "fr", "de-CH"]
 
 
 def gen_tree(rng: random.Random) -> Element:
@@ -50,6 +51,8 @@ def gen_tree(rng: random.Random) -> Element:
             attrs.append(f'id="id{rng.randint(0, 30)}"')
         if rng.random() < 0.5:
             attrs.append(f'{rng.choice(ATTRS)}="{rng.choice(VALS)}"')
+        if rng.random() < 0.2:
+            attrs.append(f'lang="{rng.choice(LANGS)}"')
         inner = f"t{rng.randint(0, 9)}" if rng.random() < 0.5 else ""
         if depth < 3 and rng.random() < 0.7:
             inner += "".join(node(depth + 1) for _ in range(rng.randint(1, 3)))
@@ -89,7 +92,7 @@ def gen_compound(rng: random.Random, allow_not: bool = True) -> dict:
     n_parts = rng.randint(0 if comp["tag"] else 1, 2)
     for _ in range(n_parts):
         kind = rng.choice(
-            ["class", "id", "attr", "nth", "first", "last"]
+            ["class", "id", "attr", "nth", "first", "last", "lang"]
             # :is/:has/:nth-child(An+B of S) only at nesting depth 0
             # (allow_not doubles as the nesting guard) — bounded grammar
             + (["not", "is", "has", "nth_of"] if allow_not else [])
@@ -111,6 +114,10 @@ def gen_compound(rng: random.Random, allow_not: bool = True) -> dict:
             chains = [gen_chain(rng, nested=True)
                       for _ in range(rng.randint(1, 2))]
             comp["parts"].append(("nth_of", a, b, chains, rng.random() < 0.5))
+        elif kind == "lang":
+            codes = rng.sample(["en", "en-us", "fr", "de", "de-ch"],
+                               rng.randint(1, 2))
+            comp["parts"].append(("lang", codes))
         elif kind == "first":
             comp["parts"].append(("first",))
         elif kind == "last":
@@ -150,6 +157,8 @@ def render_compound(comp: dict) -> str:
             name = "nth-last-child" if is_last else "nth-child"
             lst = ", ".join(render_chain(c) for c in chains)
             s += f":{name}({anb} of {lst})"
+        elif k == "lang":
+            s += f":lang({', '.join(part[1])})"
         elif k == "first":
             s += ":first-child"
         elif k == "last":
@@ -218,6 +227,17 @@ def match_compound(el: Element, comp: dict) -> bool:
                 else:
                     d = idx - b
                     ok = d % a == 0 and d // a >= 0
+        elif k == "lang":
+            cur, av = el, None
+            while cur is not None:
+                v = cur.get("lang")
+                if v is not None:
+                    av = v.lower()
+                    break
+                cur = cur.parent
+            ok = av is not None and any(
+                av == c or av.startswith(c + "-") for c in part[1]
+            )
         elif k in ("nth", "first", "last"):
             if el.parent is None:
                 sibs = [el]
@@ -389,7 +409,7 @@ CMP_OPS = ["=", "!=", "<", ">", "<=", ">="]
 
 def gen_pred(rng: random.Random, depth: int = 0):
     kinds = ["posbare", "poscmp", "last", "attr", "attreq", "contains",
-             "count", "strlen", "strpath"]
+             "count", "strlen", "strpath", "path"]
     if depth < 1:
         kinds += ["and", "or", "not"]
     k = rng.choice(kinds)
@@ -418,6 +438,12 @@ def gen_pred(rng: random.Random, depth: int = 0):
     if k == "strpath":
         # node-set string(): string value of the FIRST child named tag
         return ("strpath", rng.choice(TAGS), rng.choice(["t0", "t1", "t2", "e"]))
+    if k == "path":
+        # location-path existence: [tag], [.//tag], [tag1/tag2]
+        form = rng.choice(["child", "desc", "two"])
+        if form == "two":
+            return ("path", form, rng.choice(TAGS), rng.choice(TAGS))
+        return ("path", form, rng.choice(TAGS), None)
     if k == "not":
         return ("not", gen_pred(rng, depth + 1))
     return (k, gen_pred(rng, depth + 1), gen_pred(rng, depth + 1))
@@ -446,6 +472,12 @@ def render_pred(p) -> str:
         return f"string-length({arg}) {p[2]} {p[3]}"
     if k == "strpath":
         return f"contains(string({p[1]}), '{p[2]}')"
+    if k == "path":
+        if p[1] == "child":
+            return p[2]
+        if p[1] == "desc":
+            return f".//{p[2]}"
+        return f"{p[2]}/{p[3]}"
     if k == "not":
         return f"not({render_pred(p[1])})"
     return f"({render_pred(p[1])}) {k} ({render_pred(p[2])})"
@@ -479,6 +511,15 @@ def eval_pred(p, el: Element, pos: int, total: int) -> bool:
     if k == "strpath":
         first = next((c for c in _elem_children(el) if c.tag == p[1]), None)
         return first is not None and p[2] in naive_text_content(first)
+    if k == "path":
+        if p[1] == "child":
+            return any(c.tag == p[2] for c in _elem_children(el))
+        if p[1] == "desc":
+            return any(d.tag == p[2] for d in _descendants(el))
+        return any(
+            c.tag == p[2] and any(g.tag == p[3] for g in _elem_children(c))
+            for c in _elem_children(el)
+        )
     if k == "not":
         return not eval_pred(p[1], el, pos, total)
     if k == "and":
@@ -553,7 +594,7 @@ def test_xpath_selector_parity_fuzz(block: int) -> None:
 
 CSS_UNSUPPORTED = [
     "div:hover", "a:visited", "p::before", "p::after",
-    "div:lang(en)", "div:nth-child(2n of)", "div:nth-col(2)",
+    "div:lang()", "div:nth-child(2n of)", "div:nth-col(2)",
     ":focus-within", "div:dir(ltr)", "div:has(a", ":is(div,, p)",
 ]
 XPATH_UNSUPPORTED = [
