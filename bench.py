@@ -605,6 +605,42 @@ sec/round, at the matching parallelism) from each 9-round window's legs
 isolates the parallel work: **median floor-adjusted 2→8 efficiency
 {eff_floor_adj}** (per-window: {floor_adj}).
 
+## r5: stage-sliced attribution + the three structural fixes
+
+`tools/kernel_scaling.py` times four NESTED slices of the round's hot job
+over the exact bench corpus — JVM cache scan → + Arrow JVM→Python
+transfer → + zlib inflate → + full extraction kernel — engine-at-2,
+engine-at-8 and the control all back-to-back per window (3 windows,
+BENCH/kernel_scaling_slices.jsonl):
+
+- **The extraction path scales at the hardware ceiling**: full-kernel
+  slice 2→8 median **0.899** vs control **0.881** in the same windows
+  (engine/control ≈ 1.02). The Python/pandas/Arrow plumbing is NOT the
+  scaling residue.
+- The in-window crawl-vs-kernel delta (BENCH/kernel_crawl_residue.jsonl)
+  pinned the entire 9-round gap to per-round MACHINERY (~1.6-2 s/round,
+  roughly flat in core count), and a per-job event-log breakdown named
+  it: AQE materialized every broadcast query stage of the round's
+  shuffle-free plan as its own job with a driver re-optimization barrier
+  between (4-6 jobs/round, 0.4-1.4s gaps); the seen-set anti-join
+  broadcast re-scanned the whole seen union every round (one
+  8·⌈deltas⌉-task job, growing until compaction); and the robots dim
+  broadcast re-ran a python compile pass per round.
+- Fixes landed: (1) AQE scoped OFF around the round's collect (zero
+  shuffles → nothing for AQE to adapt; static planning runs the round as
+  ONE job); (2) a sorted int64 driver mirror of the seen url_hash set —
+  live exactly while the seen history is driver-visible, ≤16 MB at the
+  2M-row hybrid bound — replaces the per-round broadcast anti-join with
+  an O(links·log seen) searchsorted; (3) a mid-tier robots path
+  (politeness.LOCAL_ROBOTS_MAX): dims ≤64k hosts compile driver-side
+  once and re-enter as a LocalRelation, so the per-round broadcast costs
+  ~0.03s instead of two ~0.3s python jobs. Event-log after: 9 rounds =
+  9 main jobs + micro broadcasts; driver think-time 17.3s → 12.7s; crawl
+  wall at local[8] 36.6s → 32.3s, local[2] 75.7s → 69.9s (same corpus,
+  adjacent windows). All three are byte-parity-pinned
+  (tests/test_crawl_spark.py: hybrid parity incl. mid-crawl fallback,
+  mid+distributed robots tier parity).
+
 ## Durable-commit leg (state_dir)
 
 Same local[8] 9-round crawl with per-round parquet state commits

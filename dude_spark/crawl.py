@@ -50,6 +50,7 @@ from .frontier import (
 )
 from .politeness import (
     INLINE_ROBOTS_MAX,
+    LOCAL_ROBOTS_MAX,
     adblock_blocked_expr,
     compile_robots,
     compile_robots_rows,
@@ -444,7 +445,7 @@ class CrawlJob:
             # spark pass cost two single-task sub-jobs (~5s at local[32])
             # of pure serial floor per crawl. Big dims stay distributed.
             raw_head = self.robots.select("host", "robots_txt").take(
-                INLINE_ROBOTS_MAX + 1
+                LOCAL_ROBOTS_MAX + 1
             )
             if len(raw_head) <= INLINE_ROBOTS_MAX:
                 allowed_set = set(allowed)
@@ -457,6 +458,43 @@ class CrawlJob:
                 delay_by_host = {
                     r["host"]: int(r["crawl_delay"])
                     for r in robots_rows
+                    if r["crawl_delay"]
+                }
+            elif len(raw_head) <= LOCAL_ROBOTS_MAX:
+                # mid-tier dim: still compiled driver-side (one python loop
+                # over the taken rows) but too many hosts to constant-fold
+                # into a CASE/WHEN chain — re-enter the compiled rows as a
+                # LocalRelation so each round's robots broadcast-join builds
+                # from driver memory with no python job and no cache scan
+                # (event-log: the cached-DF broadcast cost two ~0.3s jobs
+                # per round; a LocalTableScan broadcast costs ~0.03s).
+                # Hosts with no rules and no delay are dropped: the join is
+                # left + fail-open, so absence ≡ allow/0.
+                import pandas as pd
+
+                allowed_set = set(allowed)
+                mid_rows = [
+                    r for r in compile_robots_rows(
+                        [r for r in raw_head if r["host"] in allowed_set]
+                    )
+                    if r["rules"] or r["crawl_delay"]
+                ]
+                cr_pdf = pd.DataFrame({
+                    "host": [r["host"] for r in mid_rows],
+                    "crawl_delay": [int(r["crawl_delay"]) for r in mid_rows],
+                    "rules": [r["rules"] for r in mid_rows],
+                })
+                compiled_robots = _local_relation(
+                    spark, cr_pdf,
+                    "host string, crawl_delay int,"
+                    " rules array<struct<path string, allow boolean>>",
+                )
+                delayed_hosts = sorted(
+                    r["host"] for r in mid_rows if r["crawl_delay"]
+                )
+                delay_by_host = {
+                    r["host"]: int(r["crawl_delay"])
+                    for r in mid_rows
                     if r["crawl_delay"]
                 }
             else:
@@ -602,6 +640,29 @@ class CrawlJob:
                     h = _host_of(u)
                     if h in delayed_set:
                         pending_by_host[h] = pending_by_host.get(h, 0) + 1
+
+        import numpy as _np
+
+        # Sorted int64 mirror of every seen url_hash, live exactly as long
+        # as seen_local_pdfs (bounded by broadcast_seen_max ⇒ ≤16 MB at the
+        # 2M default). While live, hybrid rounds anti-join DRIVER-SIDE via
+        # searchsorted instead of a Spark broadcast anti-join — the
+        # per-round broadcast build re-scanned the ENTIRE seen union
+        # (event-log: one 8·⌈deltas⌉-task job per round, growing until
+        # compaction) and rebuilt a driver hash relation of O(seen) rows
+        # every round; the mirror makes the per-round cost O(delta log
+        # seen) instead. Identical semantics: the broadcast anti-join
+        # removed whole url_hash groups, exactly what the membership test
+        # does.
+        seen_hash_sorted: Optional[_np.ndarray] = None
+        if seen_local_pdfs is not None:
+            seen_hash_sorted = _np.sort(
+                _np.concatenate(
+                    [p["url_hash"].to_numpy(dtype="int64") for p in seen_local_pdfs]
+                )
+                if seen_local_pdfs
+                else _np.empty(0, dtype="int64")
+            )
 
         extract_it = make_extract_iterator(
             self.plan,
@@ -847,11 +908,23 @@ class CrawlJob:
                 and cfg.dedupe == "seen"
                 and seen_n <= cfg.broadcast_seen_max
             ):
-                anti_plan = links.join(
-                    F.broadcast(seen.select("url_hash")),
-                    on="url_hash",
-                    how="left_anti",
-                ).limit(cfg.driver_frontier_max + 1)
+                if seen_hash_sorted is not None:
+                    # Driver-resident seen mirror is complete: skip the
+                    # Spark anti-join entirely — collect the GATED links
+                    # (under a 4× transfer guard; links:candidates is
+                    # bounded by the page out-degree) and anti-join by
+                    # searchsorted below. The round's plan then has ONE
+                    # broadcast (the fetch set) and the per-round cost no
+                    # longer re-scans O(seen).
+                    collect_cap = cfg.driver_frontier_max * 4
+                    anti_plan = links.limit(collect_cap + 1)
+                else:
+                    collect_cap = cfg.driver_frontier_max
+                    anti_plan = links.join(
+                        F.broadcast(seen.select("url_hash")),
+                        on="url_hash",
+                        how="left_anti",
+                    ).limit(collect_cap + 1)
                 _t('cand_plan', _since)
                 # Arrow collect, NOT .collect(): Row-pickle deserialization
                 # of a wide round's candidates is ~1-2s of single-threaded
@@ -862,17 +935,43 @@ class CrawlJob:
                 # collect should scan all partitions in ONE job instead of
                 # the incremental 1-then-4× executeTake ramp, but unrelated
                 # small .take()/.isEmpty() queries should keep the default.
+                # AQE is scoped OFF for this one query: the plan is
+                # broadcast-joins + a limit with ZERO shuffle exchanges, so
+                # adaptive re-planning can't improve it — but AQE
+                # materializes every broadcast query stage as its own job
+                # with a driver re-optimization barrier between them
+                # (event-log measured: 4-6 jobs/round with 0.4-1.4s driver
+                # gaps — ~1.9s/round of the 2→8 scaling residue). Static
+                # planning runs the whole round as ONE job whose broadcast
+                # builds overlap execution on the driver thread.
                 with _conf_override(
-                    spark, {"spark.sql.limit.initialNumPartitions": "4096"}
+                    spark, {
+                        "spark.sql.limit.initialNumPartitions": "4096",
+                        "spark.sql.adaptive.enabled": "false",
+                    }
                 ):
                     cand_tbl = anti_plan.toArrow()
                 _t('cand_collect', _since)
-                if cand_tbl.num_rows <= cfg.driver_frontier_max:
+                cpdf = None
+                if cand_tbl.num_rows <= collect_cap:
                     import numpy as np
                     import pandas as pd
 
-                    local_round = True
                     cpdf = cand_tbl.to_pandas()
+                    if seen_hash_sorted is not None and len(cpdf):
+                        # anti-join vs the sorted mirror: membership by
+                        # searchsorted — O(links·log seen), no Spark job
+                        uh = cpdf["url_hash"].to_numpy(dtype="int64")
+                        if seen_hash_sorted.size:
+                            pos = np.searchsorted(seen_hash_sorted, uh)
+                            pos[pos == seen_hash_sorted.size] = 0
+                            cpdf = cpdf[seen_hash_sorted[pos] != uh]
+                    # candidate-count guard: same boundary as the broadcast
+                    # path (wide rounds stay fully distributed)
+                    if len(cpdf) > cfg.driver_frontier_max:
+                        cpdf = None
+                if cpdf is not None:
+                    local_round = True
                     # arrival order, then keep-first per url_hash — identical
                     # to dedupe_candidates' window semantics ((parent_seq,
                     # link_seq) is unique, so stability is moot)
@@ -1025,6 +1124,15 @@ class CrawlJob:
                     )
                     if seen_local_pdfs is not None:
                         seen_local_pdfs.append(delta_pdf)
+                    if seen_hash_sorted is not None:
+                        # fold the delta into the sorted mirror (merge of
+                        # two sorted runs; numpy sort is O(n) on this shape)
+                        seen_hash_sorted = _np.sort(
+                            _np.concatenate([
+                                seen_hash_sorted,
+                                local_pdf["url_hash"].to_numpy(dtype="int64"),
+                            ])
+                        )
                 else:
                     delta = (
                         frontier.filter(F.col("seq") > prev_max)
@@ -1036,6 +1144,7 @@ class CrawlJob:
                         live_handles.append(h)
                     # a distributed delta left the driver-visible regime
                     seen_local_pdfs = None
+                    seen_hash_sorted = None
                 seen_deltas.append(delta)
                 seen = seen_base
                 for d in seen_deltas:

@@ -137,6 +137,12 @@ def robots_gate(frontier: DataFrame, compiled_robots: Optional[DataFrame]) -> Da
 
 
 INLINE_ROBOTS_MAX = 64
+# Mid-tier cap: dims up to this many hosts are compiled DRIVER-SIDE (one
+# take + a python loop over tiny text files) and re-entered as a
+# LocalRelation, so each crawl round's robots broadcast builds from driver
+# memory — no per-round python job, no cache scan. Above this, the dim is
+# compiled distributed (pandas-UDF pass) and broadcast-joined per round.
+LOCAL_ROBOTS_MAX = 65536
 
 
 def inline_robots_gate(df: DataFrame, robots_rows, url_col: str = "url") -> DataFrame:

@@ -421,34 +421,50 @@ def test_local_relation_nullable_ints(spark):
     ) == [(1, "x"), (None, "y")]
 
 
-def test_distributed_robots_path_parity(spark, crawl_result):
-    """>INLINE_ROBOTS_MAX hosts routes robots through the distributed
-    compile + broadcast-join gate (compile_robots/robots_gate) instead of
-    the constant-folded inline chains. Pad the dim with dummy hosts the
-    crawl never visits to force that path; trace and results must be
-    byte-identical to the inline run."""
-    import pandas as pd
-
+def test_mid_and_distributed_robots_path_parity(spark, crawl_result, monkeypatch):
+    """>INLINE_ROBOTS_MAX hosts routes robots through the driver-compiled
+    LocalRelation broadcast-join (mid tier, ≤LOCAL_ROBOTS_MAX), and past
+    that through the distributed pandas-UDF compile + broadcast-join
+    (compile_robots/robots_gate). Pad the dim with dummy hosts the crawl
+    never visits to force each tier (the distributed tier via a lowered
+    LOCAL_ROBOTS_MAX); trace and results must be byte-identical to the
+    inline run in both."""
+    import dude_spark.crawl as crawl_mod
     from dude_spark.politeness import INLINE_ROBOTS_MAX
 
     res_inline, pages = crawl_result
     base = robots_df(spark).collect()
-    pad = [
-        (f"pad-{i}.example", "User-Agent: *\nDisallow: /\n", 0)
-        for i in range(INLINE_ROBOTS_MAX + 4 - len(base))
-    ]
-    big = spark.createDataFrame(
-        [(r["host"], r["robots_txt"], r["crawl_delay"]) for r in base] + pad,
-        "host string, robots_txt string, crawl_delay int",
-    )
-    job = CrawlJob(
-        spark, make_scraper(), pages, robots=big,
-        config=CrawlConfig(follow_urls=True, max_rounds=40, round_seconds=3600),
-    )
-    res = job.run(seeds())
+
+    def run_with_pad(n_hosts: int):
+        pad = [
+            (f"pad-{i}.example", "User-Agent: *\nDisallow: /\n", 0)
+            for i in range(n_hosts - len(base))
+        ]
+        big = spark.createDataFrame(
+            [(r["host"], r["robots_txt"], r["crawl_delay"]) for r in base] + pad,
+            "host string, robots_txt string, crawl_delay int",
+        )
+        job = CrawlJob(
+            spark, make_scraper(), pages, robots=big,
+            config=CrawlConfig(
+                follow_urls=True, max_rounds=40, round_seconds=3600
+            ),
+        )
+        return job.run(seeds())
+
     t = lambda r: [
         (x["url"], x["depth"], x["seq"])
         for x in r.trace.orderBy("seq").collect()
     ]
-    assert t(res) == t(res_inline)
-    assert res.results.count() == res_inline.results.count()
+    base_trace, base_rows = t(res_inline), res_inline.results.count()
+
+    # mid tier: INLINE < hosts <= LOCAL
+    res_mid = run_with_pad(INLINE_ROBOTS_MAX + 4)
+    assert t(res_mid) == base_trace
+    assert res_mid.results.count() == base_rows
+
+    # distributed tier: hosts > LOCAL (lowered so the test stays light)
+    monkeypatch.setattr(crawl_mod, "LOCAL_ROBOTS_MAX", INLINE_ROBOTS_MAX + 8)
+    res_dist = run_with_pad(INLINE_ROBOTS_MAX + 16)
+    assert t(res_dist) == base_trace
+    assert res_dist.results.count() == base_rows

@@ -448,3 +448,44 @@ def test_xpath_name_local_name():
     # name() with an argument stays out of the subset and raises
     with pytest.raises(ValueError):
         xpath_select(root, ".//div[name(@x) = 'div']")
+
+
+def test_css_lang_pseudo():
+    """r5: :lang() — inherited nearest-ancestor @lang, equal-or-hyphen-
+    extension match, ASCII case-insensitive; CSS4 comma list."""
+    root = parse_html(
+        '<html lang="en-US"><body>'
+        '<p id="a">x</p>'
+        '<div lang="fr"><p id="b">y</p></div>'
+        '<div lang="DE-ch"><p id="c">z</p></div>'
+        "</body></html>"
+    )
+    ids = lambda sel: [e.get("id") for e in css_select(root, sel)]
+    assert ids("p:lang(en)") == ["a"]
+    assert ids("p:lang(en-us)") == ["a"]
+    assert ids("p:lang(us)") == []  # no cross-subtag match
+    assert ids("p:lang(fr)") == ["b"]
+    assert ids("p:lang(de)") == ["c"]
+    assert ids("p:lang(fr, de-ch)") == ["b", "c"]
+    with pytest.raises(ValueError):
+        css_select(root, "p:lang()")
+
+
+def test_xpath_path_existence_predicates():
+    """r5: location-path predicates — XPath 1.0 node-set → boolean."""
+    root = parse_html(
+        '<body><div id="d1" class="g"><a href="x"><p class="t">T1</p></a></div>'
+        '<div id="d2" class="g"><p class="d">D</p><a><p class="t">T2</p></a></div>'
+        '<div id="d3"></div><span id="s"><em>e</em></span></body>'
+    )
+    ids = lambda xp: [e.get("id") for e in xpath_select(root, xp)]
+    assert ids(".//div[p]") == ["d2"]                       # child axis
+    assert ids(".//div[.//p]") == ["d1", "d2"]              # descendant
+    assert ids(".//div[a/p[@class='t']]") == ["d1", "d2"]   # nested pred
+    assert ids(".//div[not(.//p)]") == ["d3"]               # under not()
+    assert ids(".//span[em | b]") == ["s"]                  # union
+    assert ids(".//div[//em]") == ["d1", "d2", "d3"]        # absolute
+    # off-grammar atoms still raise — the path branch must not swallow them
+    for bad in (".//div[foo(bar)]", ".//div[@a = @b]", ".//div[p >< q]"):
+        with pytest.raises(ValueError):
+            xpath_select(root, bad)
