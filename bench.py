@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "token_count",
     "quality_score",
+    "pii_scrub",
     "sessionize",
 ]
 

@@ -2232,6 +2232,66 @@ def _oracle_minhash_cc(k: int = 8, bands: int = 2, threshold: float = 0.8) -> st
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrub (textops/quality.py pii_scrub): redact
+    URLs → emails → phones (in that order — a URL's userinfo must count as
+    the URL) and count each redaction. The corpus text carries no PII, so
+    deterministic PII is INJECTED per doc_id in the query itself — the
+    injected URL embeds an email-shaped userinfo (``u=x@y.io``) precisely
+    so the oracle discriminates the redaction ORDER, not just the regexes.
+    """
+    from .textops.quality import pii_scrub
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" see https://t.example/"), F.col("doc_id").cast("string"),
+            F.lit("/a?u=x@y.io tail"),
+        ).alias("text"),
+    )
+    return pii_scrub(docs).select(
+        F.col("doc_id").cast("long"),
+        "scrubbed",
+        F.col("n_urls").cast("long"),
+        F.col("n_emails").cast("long"),
+        F.col("n_phones").cast("long"),
+    )
+
+
+def _pii_oracle() -> str:
+    from .textops.quality import PII_EMAIL_RE, PII_PHONE_RE, PII_URL_RE
+
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or +1-555-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              || ' see https://t.example/' || doc_id || '/a?u=x@y.io tail'
+         AS text
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         regexp_replace(text, '{PII_URL_RE}', '<URL>', 'g') AS t1,
+         len(regexp_extract_all(text, '{PII_URL_RE}')) AS n_urls
+  FROM injected
+), e AS (
+  SELECT doc_id, n_urls,
+         regexp_replace(t1, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t2,
+         len(regexp_extract_all(t1, '{PII_EMAIL_RE}')) AS n_emails
+  FROM u
+)
+SELECT doc_id::BIGINT AS doc_id,
+       regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+       n_urls::BIGINT AS n_urls, n_emails::BIGINT AS n_emails,
+       len(regexp_extract_all(t2, '{PII_PHONE_RE}'))::BIGINT AS n_phones
+FROM e
+"""
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl/extract engine
@@ -2285,6 +2345,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "warc_latest": q_warc_latest,
         "quality_gopher": q_quality_gopher,
+        "pii_scrub": q_pii_scrub,
         "pagerank": q_pagerank,
         "url_canonical": q_url_canonical,
         "dedup_cc": q_dedup_cc,
@@ -2341,6 +2402,7 @@ def oracle_sql() -> Dict[str, str]:
         "ann_ivf_topk": _oracle_ann_ivf(),
         "warc_latest": ORACLE_WARC_LATEST,
         "quality_gopher": ORACLE_QUALITY_GOPHER,
+        "pii_scrub": _pii_oracle(),
         "pagerank": _oracle_pagerank(),
         "url_canonical": ORACLE_URL_CANONICAL,
         "dedup_cc": ORACLE_DEDUP_CC,

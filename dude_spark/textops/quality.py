@@ -259,3 +259,40 @@ def predict_lang(docs: DataFrame, profiles: dict, n: int = 3) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         it, "doc_id long, pred_lang string, lang_score double"
     )
+
+
+# patterns shared by the Spark path and the DuckDB oracle — kept inside the
+# Java∩RE2 common regex subset (no lookaround, no backrefs) so both engines
+# match byte-identically
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+PII_URL_RE = r"https?://[^\s]+"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub: redact emails, international-format phone
+    numbers, and bare URLs to typed placeholders, and count each redaction.
+
+    Pure column expressions (JVM regex inside whole-stage codegen — at
+    100 TB this is a map-only pass with no shuffle, pipelined into
+    whatever scan feeds it). URLs are redacted FIRST so an email-shaped
+    userinfo inside a URL counts as the URL, not as an email — the order
+    is part of the contract and the oracle mirrors it.
+    """
+    col = F.col(text_col)
+    # patterns travel as Column literals (F.lit), NOT through F.expr SQL
+    # strings — Spark SQL string literals process backslash escapes, which
+    # would silently turn [^\s] into [^s]
+    n_urls = F.regexp_count(col, F.lit(PII_URL_RE))
+    after_url = F.regexp_replace(col, PII_URL_RE, "<URL>")
+    n_emails = F.regexp_count(after_url, F.lit(PII_EMAIL_RE))
+    after_email = F.regexp_replace(after_url, PII_EMAIL_RE, "<EMAIL>")
+    n_phones = F.regexp_count(after_email, F.lit(PII_PHONE_RE))
+    scrubbed = F.regexp_replace(after_email, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        n_urls.cast("long").alias("n_urls"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+    )

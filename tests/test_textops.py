@@ -241,3 +241,23 @@ def test_transitive_closure_collapses_neardup_chain(spark):
         for r in transitive_representatives(pairs).collect()
     }
     assert reps == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_pii_scrub_order_contract(spark):
+    """URLs are redacted before emails/phones: an email-shaped userinfo
+    inside a URL counts as the URL, not as an email (the order is part of
+    the pii_scrub contract — the oracle injects exactly this shape)."""
+    from dude_spark.textops.quality import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "write to a@b.co or +44-020-7946 via https://x.io/?e=c@d.org ok"),
+            (1, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert rows[0]["scrubbed"] == "write to <EMAIL> or <PHONE> via <URL> ok"
+    assert (rows[0]["n_urls"], rows[0]["n_emails"], rows[0]["n_phones"]) == (1, 1, 1)
+    assert rows[1]["scrubbed"] == "no pii here"
+    assert (rows[1]["n_urls"], rows[1]["n_emails"], rows[1]["n_phones"]) == (0, 0, 0)
