@@ -649,9 +649,16 @@ Same local[8] 9-round crawl with per-round parquet state commits
 posture standing in for Iceberg snapshots), paired in-window with a
 memory-mode leg: {state_leg["urls_per_sec"]} urls/sec,
 {state_leg["seconds"]}s wall vs {state_mem["seconds"]}s in-memory —
-**+{state_overhead_pct}% wall for durability**. The commit cost is
-per-round parquet write+read of frontier/seen deltas; at warehouse round
-widths it is I/O proportional to the delta, not the corpus.
+**+{state_overhead_pct}% wall for durability**. Durability is a
+WRITE-path property (r5): state_dir mode rides the same hybrid
+driver-resident frontier and seen-mirror as memory mode, and a hybrid
+round commits its frontier snapshot driver-side via pyarrow (~ms,
+byte-compatible with the Spark writer — `_commit_local_frontier`)
+instead of paying a ~0.3s Spark write job; only the extracted-results
+commit remains a per-round Spark parquet write. Wide rounds fall back to
+the fully Spark-written path, which is also what resume from any
+snapshot re-enters. The commit cost is I/O proportional to the delta,
+not the corpus.
 
 ## Reading the numbers
 

@@ -161,6 +161,84 @@ def test_resume_continues_from_checkpoint(spark, tmp_path):
     assert total_urls == {r["url"] for r in full.trace.select("url").collect()}
 
 
+def test_state_dir_hybrid_parity(spark, tmp_path, crawl_result):
+    """state_dir mode rides the hybrid driver-resident frontier (r5):
+    hybrid rounds commit their snapshot driver-side via pyarrow instead of
+    a Spark write job. Trace/results/seen must be byte-identical to memory
+    mode AND to the Spark-written durable path (driver_frontier_max=0),
+    and every committed round dir — whichever writer produced it — must
+    carry the _SUCCESS marker `last_committed_round` keys on."""
+    import os
+
+    res_default, pages = crawl_result
+    base_trace = [
+        (r["url"], r["depth"], r["seq"])
+        for r in res_default.trace.orderBy("seq").collect()
+    ]
+    base_rows = res_default.results.count()
+    base_seen = res_default.seen.count()
+    for cap in (65536, 0):
+        state = str(tmp_path / f"state_{cap}")
+        job = CrawlJob(
+            spark, make_scraper(), pages, robots=robots_df(spark),
+            config=CrawlConfig(
+                follow_urls=True, max_rounds=40, round_seconds=3600,
+                driver_frontier_max=cap, state_dir=state,
+            ),
+        )
+        res = job.run(seeds())
+        trace = [
+            (r["url"], r["depth"], r["seq"])
+            for r in res.trace.orderBy("seq").collect()
+        ]
+        assert trace == base_trace, f"durable trace diverged at cap={cap}"
+        assert res.results.count() == base_rows
+        assert res.seen.count() == base_seen
+        fdir = os.path.join(state, "frontier")
+        rounds = sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(fdir)
+            if d.startswith("round=")
+        )
+        assert rounds[0] == -1 and len(rounds) == len(res.metrics) + 1
+        for r in rounds:
+            assert os.path.exists(
+                os.path.join(fdir, f"round={r}", "_SUCCESS")
+            ), f"round={r} lacks _SUCCESS at cap={cap}"
+
+
+def test_resume_across_frontier_paths(spark, tmp_path):
+    """Snapshots committed by the driver-side pyarrow writer must be
+    readable by a resume running the fully distributed path, and
+    vice versa — the two writers are interchangeable on disk."""
+    pages = pages_df(spark, SF).select("url", "html")
+    full = CrawlJob(
+        spark, make_scraper(), pages, robots=robots_df(spark),
+        config=CrawlConfig(max_rounds=40, round_seconds=3600),
+    ).run(seeds())
+    expected = {r["url"] for r in full.trace.select("url").collect()}
+    for cap1, cap2 in ((65536, 0), (0, 65536)):
+        state = str(tmp_path / f"s_{cap1}_{cap2}")
+        partial = CrawlJob(
+            spark, make_scraper(), pages, robots=robots_df(spark),
+            config=CrawlConfig(
+                max_rounds=2, round_seconds=3600,
+                state_dir=state, driver_frontier_max=cap1,
+            ),
+        ).run(seeds())
+        assert len(partial.metrics) == 2
+        rest = CrawlJob(
+            spark, make_scraper(), pages, robots=robots_df(spark),
+            config=CrawlConfig(
+                max_rounds=40, round_seconds=3600,
+                state_dir=state, driver_frontier_max=cap2,
+            ),
+        ).run(seeds(), resume=True)
+        urls = {r["url"] for r in partial.trace.select("url").collect()} | {
+            r["url"] for r in rest.trace.select("url").collect()
+        }
+        assert urls == expected, f"resume {cap1}->{cap2} lost URLs"
+
+
 def test_dedupe_none_matches_seen_on_acyclic_corpus(spark):
     """Reference-parity mode: with no URL-seen set, the acyclic duplicate-
     free corpus must still yield the same fetched set/order as dedupe='seen'
