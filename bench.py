@@ -137,6 +137,13 @@ def run_crawl_bench(spark, sf_dir: str, replicate: int) -> dict:
 
             corpus = corpus.mapInPandas(_compress, "url string, html binary")
         corpus.repartition(32).write.mode("overwrite").parquet(pages_path)
+    # Scan granularity note (measured, rejected): splitting the cached
+    # corpus into 4 waves of smaller tasks per round (minPartitionNum =
+    # 4×cores) to smooth per-round straggler tails was A/B'd in-window
+    # twice — engine 2→8 eff 0.606 vs 0.629 and 0.939 vs 0.950
+    # (treated/untreated) — no efficiency gain, and absolute wall was worse
+    # in one window; per-task Arrow/worker overhead eats the tail savings
+    # at this corpus size. One wave of core-count tasks stays the default.
     pages = spark.read.parquet(pages_path)
     # The in-memory columnar cache holds pages UNCOMPRESSED (~pad×330 B each)
     # — a 70 GB logical corpus in a 72 GB heap is a GC death spiral, and

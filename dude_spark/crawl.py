@@ -700,6 +700,29 @@ class CrawlJob:
                 if seen_local_pdfs
                 else _np.empty(0, dtype="int64")
             )
+        elif (
+            resume
+            and start_round > 0
+            and cfg.driver_frontier_max > 0
+            and cfg.dedupe == "seen"
+        ):
+            # Rebuild the mirror from the committed snapshots (hash column
+            # only — 8 B/row, ≤16 MB at the broadcast_seen_max bound) so a
+            # resumed crawl re-enters the driver-side anti-join immediately
+            # instead of paying the per-round broadcast anti-join. Overflow
+            # of the limit guard ⇒ the seen set outgrew the hybrid regime —
+            # leave the mirror off and stay fully distributed. The url
+            # strings stay distributed either way (seen_local_pdfs remains
+            # None ⇒ compaction keeps the repartition path).
+            hash_tbl = (
+                seen.select("url_hash")
+                .limit(cfg.broadcast_seen_max + 1)
+                .toArrow()
+            )
+            if hash_tbl.num_rows <= cfg.broadcast_seen_max:
+                seen_hash_sorted = _np.sort(
+                    hash_tbl.column("url_hash").to_numpy().astype("int64")
+                )
 
         extract_it = make_extract_iterator(
             self.plan,

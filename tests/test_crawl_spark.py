@@ -215,7 +215,9 @@ def test_resume_across_frontier_paths(spark, tmp_path):
         spark, make_scraper(), pages, robots=robots_df(spark),
         config=CrawlConfig(max_rounds=40, round_seconds=3600),
     ).run(seeds())
-    expected = {r["url"] for r in full.trace.select("url").collect()}
+    expected = [
+        (r["url"], r["seq"]) for r in full.trace.orderBy("seq").collect()
+    ]
     for cap1, cap2 in ((65536, 0), (0, 65536)):
         state = str(tmp_path / f"s_{cap1}_{cap2}")
         partial = CrawlJob(
@@ -233,10 +235,19 @@ def test_resume_across_frontier_paths(spark, tmp_path):
                 state_dir=state, driver_frontier_max=cap2,
             ),
         ).run(seeds(), resume=True)
-        urls = {r["url"] for r in partial.trace.select("url").collect()} | {
-            r["url"] for r in rest.trace.select("url").collect()
-        }
-        assert urls == expected, f"resume {cap1}->{cap2} lost URLs"
+        # (url, seq) parity, not just URL-set equality: the resumed leg
+        # must assign/carry the SAME dense enqueue seq for every fetched
+        # URL as the uninterrupted run (seqs are unique, so sorting by seq
+        # is canonical regardless of deferral-driven fetch interleaving)
+        stitched = sorted(
+            [
+                (r["url"], r["seq"])
+                for r in partial.trace.select("url", "seq").collect()
+            ]
+            + [(r["url"], r["seq"]) for r in rest.trace.select("url", "seq").collect()],
+            key=lambda t: t[1],
+        )
+        assert stitched == expected, f"resume {cap1}->{cap2} trace diverged"
 
 
 def test_dedupe_none_matches_seen_on_acyclic_corpus(spark):
