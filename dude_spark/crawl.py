@@ -70,6 +70,13 @@ CRAWL_DDL = (
     "seq bigint, method string, status string, round int, crawl_delay int"
 )
 
+# Allowed-domain sets up to this size inline as one In(host, literals)
+# predicate in the link gate (hash-set probe, single-expression analysis);
+# larger sets fall back to a broadcast semi-join. Separate from
+# INLINE_ROBOTS_MAX because an In list stays cheap far past the point where
+# a per-host robots CASE/WHEN expression tree stops being worth folding.
+INLINE_ALLOWED_MAX = 4096
+
 
 @dataclass
 class CrawlConfig:
@@ -561,9 +568,15 @@ class CrawlJob:
             key = "source_url" in df.columns
             if key not in _gate_cache:
                 c: dict = {}
+                # The allowed-domain gate inlines as a single In(host,
+                # literals) predicate — analysis cost is one expression and
+                # evaluation is a hash-set probe, so it tolerates far more
+                # hosts than the robots CASE/WHEN fold (INLINE_ROBOTS_MAX):
+                # inlining it drops one broadcast-join build from every
+                # round's link plan. Past the cap, a broadcast semi-join.
                 c["allowed"] = (
                     F.col("host").isin(allowed)
-                    if len(allowed) <= INLINE_ROBOTS_MAX
+                    if len(allowed) <= INLINE_ALLOWED_MAX
                     else None
                 )
                 c["abp"] = (
@@ -781,6 +794,30 @@ class CrawlJob:
         seen_deltas: List[DataFrame] = []
         live_handles: List = []
         retired_handles: List = []
+
+        def _rebuild_seen() -> None:
+            """Re-enter Spark with the deferred driver-resident seen set.
+
+            While every seen part is driver-visible and the mirror is
+            live, the per-round fold is pandas-only (the Spark `seen` view
+            has no reader — see the deferred branch of the fold). The
+            first consumer that needs a DataFrame (a distributed fallback
+            round's anti-join, the end-of-crawl CrawlResult) rebuilds it
+            here in one concat + LocalRelation."""
+            nonlocal seen, seen_base, seen_deltas
+            if seen_local_pdfs is None:
+                return
+            import pandas as pd
+
+            merged = (
+                pd.concat(seen_local_pdfs, ignore_index=True)
+                if seen_local_pdfs
+                else pd.DataFrame({"url": pd.Series(dtype="object"),
+                                   "url_hash": pd.Series(dtype="int64")})
+            )
+            seen_local_pdfs[:] = [merged]
+            seen = _local_relation(spark, merged, "url string, url_hash bigint")
+            seen_base, seen_deltas = seen, []
 
         def _ckpt_rdd_handle(df: DataFrame):
             """JVM RDD behind a localCheckpoint'd DataFrame (LogicalRDD)."""
@@ -1079,6 +1116,9 @@ class CrawlJob:
                         )
             if not local_round:
                 if cfg.dedupe == "seen":
+                    # deferred seen parts (driver-resident regime) must be
+                    # re-entered into Spark before the anti-join reads them
+                    _rebuild_seen()
                     use_broadcast = seen_n <= cfg.broadcast_seen_max
                     if cfg.bloom_bits and not use_broadcast and seen_bloom is None:
                         # first over-threshold round: build the sidecar from
@@ -1189,11 +1229,25 @@ class CrawlJob:
                     # driver-side round: the delta rows are already local —
                     # a LocalRelation delta needs no checkpoint, no handle
                     delta_pdf = local_pdf[["url", "url_hash"]]
-                    delta = _local_relation(
-                        spark, delta_pdf, "url string, url_hash bigint"
-                    )
-                    if seen_local_pdfs is not None:
+                    if seen_local_pdfs is not None and seen_bloom is None:
+                        # DEFERRED seen: while every part is driver-visible
+                        # and the mirror is live, the Spark-side `seen`
+                        # view has NO reader (the anti-join runs against
+                        # the sorted mirror), so skip the per-round
+                        # LocalRelation build, the union re-plan and the
+                        # compaction bookkeeping entirely — the whole fold
+                        # is a pandas append + mirror merge. The first
+                        # consumer that needs a DataFrame calls
+                        # _rebuild_seen() (distributed fallback round,
+                        # end-of-crawl result).
                         seen_local_pdfs.append(delta_pdf)
+                        delta = None
+                    else:
+                        delta = _local_relation(
+                            spark, delta_pdf, "url string, url_hash bigint"
+                        )
+                        if seen_local_pdfs is not None:
+                            seen_local_pdfs.append(delta_pdf)
                     if seen_hash_sorted is not None:
                         # fold the delta into the sorted mirror (merge of
                         # two sorted runs; numpy sort is O(n) on this shape)
@@ -1215,36 +1269,42 @@ class CrawlJob:
                     # a distributed delta left the driver-visible regime
                     seen_local_pdfs = None
                     seen_hash_sorted = None
-                seen_deltas.append(delta)
-                seen = seen_base
-                for d in seen_deltas:
-                    seen = seen.unionByName(d)
-                if len(seen_deltas) >= cfg.seen_compact_every:
-                    if seen_local_pdfs is not None:
-                        # all parts driver-visible: compaction is a pandas
-                        # concat → one fresh LocalRelation, zero Spark jobs
-                        import pandas as pd
+                if delta is not None:
+                    seen_deltas.append(delta)
+                    seen = seen_base
+                    for d in seen_deltas:
+                        seen = seen.unionByName(d)
+                    if len(seen_deltas) >= cfg.seen_compact_every:
+                        if seen_local_pdfs is not None:
+                            # all parts driver-visible: compaction is a
+                            # pandas concat → one fresh LocalRelation,
+                            # zero Spark jobs
+                            import pandas as pd
 
-                        merged = pd.concat(seen_local_pdfs, ignore_index=True)
-                        seen_local_pdfs = [merged]
-                        seen = _local_relation(
-                            spark, merged, "url string, url_hash bigint"
-                        )
-                    else:
-                        seen = seen.repartition(
-                            cfg.seen_partitions, "url_hash"
+                            merged = pd.concat(
+                                seen_local_pdfs, ignore_index=True
+                            )
+                            seen_local_pdfs = [merged]
+                            seen = _local_relation(
+                                spark, merged, "url string, url_hash bigint"
+                            )
+                        else:
+                            seen = seen.repartition(
+                                cfg.seen_partitions, "url_hash"
+                            ).localCheckpoint(eager=False)
+                            nh = _ckpt_rdd_handle(seen)
+                            retired_handles.extend(live_handles)
+                            live_handles = [nh] if nh is not None else []
+                        seen_base, seen_deltas = seen, []
+                    if seen_bloom is not None:
+                        # fold the round's delta into the sidecar (word-
+                        # level bit_or; no rescan of the full seen set)
+                        seen_bloom = merge_bloom_words(
+                            seen_bloom,
+                            bloom_words(
+                                delta, m_bits=cfg.bloom_bits, k=cfg.bloom_k
+                            ),
                         ).localCheckpoint(eager=False)
-                        nh = _ckpt_rdd_handle(seen)
-                        retired_handles.extend(live_handles)
-                        live_handles = [nh] if nh is not None else []
-                    seen_base, seen_deltas = seen, []
-                if seen_bloom is not None:
-                    # fold the round's delta into the sidecar (word-level
-                    # bit_or; no rescan of the full seen set)
-                    seen_bloom = merge_bloom_words(
-                        seen_bloom,
-                        bloom_words(delta, m_bits=cfg.bloom_bits, k=cfg.bloom_k),
-                    ).localCheckpoint(eager=False)
             n_pending = n_deferred + n_new
             _t('seen_fold', _since)
 
@@ -1267,6 +1327,7 @@ class CrawlJob:
                     json.dump(metrics[-1].__dict__, f)
 
         self.scraper.run_event("shutdown")
+        _rebuild_seen()  # deferred driver-resident parts → CrawlResult.seen
         empty = self.spark.createDataFrame([], RESULT_SCHEMA)
         results = empty
         for p in results_parts:
