@@ -633,6 +633,7 @@ class CrawlJob:
         # rounds so far); lets compaction be a pandas concat instead of a
         # repartition+checkpoint job. None once any distributed delta enters.
         seen_local_pdfs: Optional[list] = None
+        resume_max_seq: Optional[int] = None
         if resume and (r := self.last_committed_round()) >= 0:
             frontier = spark.read.parquet(self._round_dir("frontier", r))
             if "priority" not in frontier.columns:  # pre-priority state dirs
@@ -640,10 +641,21 @@ class CrawlJob:
             # seen = every URL ever enqueued = union of all committed
             # frontier snapshots, distinct on url_hash
             base = os.path.join(cfg.state_dir, "frontier")
+            all_snaps = spark.read.parquet(os.path.join(base, "round=*"))
             seen = (
-                spark.read.parquet(os.path.join(base, "round=*"))
-                .select("url", "url_hash")
+                all_snaps.select("url", "url_hash")
                 .dropDuplicates(["url_hash"])
+            )
+            # TRUE seq high-water mark: max over ALL committed snapshots,
+            # not just the pending frontier — a round that discovers no new
+            # links commits a deferred-only snapshot whose rows all carry
+            # OLD seqs, so max(pending.seq) under-recovers and the resumed
+            # crawl would re-issue seqs already assigned to URLs fetched in
+            # between (duplicate seq = broken (url, seq) parity).
+            resume_max_seq = int(
+                all_snaps.agg(
+                    F.coalesce(F.max("seq"), F.lit(-1)).alias("m")
+                ).collect()[0]["m"]
             )
             start_round = r + 1
         else:
@@ -773,6 +785,8 @@ class CrawlJob:
             F.count("*").alias("n"),
         ).collect()[0]
         max_seq, n_pending = int(first["m"]), int(first["n"])
+        if resume_max_seq is not None and resume_max_seq > max_seq:
+            max_seq = resume_max_seq
         # Lower bound of any pending frontier row's seq — with max_seq it
         # brackets every link's parent_seq, which lets assign_global_seq
         # range-split deterministically (no sampling job). Conservative is
@@ -1229,7 +1243,11 @@ class CrawlJob:
                     # driver-side round: the delta rows are already local —
                     # a LocalRelation delta needs no checkpoint, no handle
                     delta_pdf = local_pdf[["url", "url_hash"]]
-                    if seen_local_pdfs is not None and seen_bloom is None:
+                    if (
+                        seen_local_pdfs is not None
+                        and seen_hash_sorted is not None
+                        and seen_bloom is None
+                    ):
                         # DEFERRED seen: while every part is driver-visible
                         # and the mirror is live, the Spark-side `seen`
                         # view has NO reader (the anti-join runs against
@@ -1243,11 +1261,15 @@ class CrawlJob:
                         seen_local_pdfs.append(delta_pdf)
                         delta = None
                     else:
+                        # only reachable with seen_local_pdfs None (the
+                        # resume-with-mirror regime: hashes are driver-
+                        # resident, urls are not) — a local round with the
+                        # bloom sidecar live is impossible, since bloom
+                        # birth requires seen_n past the hybrid gate's own
+                        # broadcast_seen_max bound
                         delta = _local_relation(
                             spark, delta_pdf, "url string, url_hash bigint"
                         )
-                        if seen_local_pdfs is not None:
-                            seen_local_pdfs.append(delta_pdf)
                     if seen_hash_sorted is not None:
                         # fold the delta into the sorted mirror (merge of
                         # two sorted runs; numpy sort is O(n) on this shape)
@@ -1275,26 +1297,16 @@ class CrawlJob:
                     for d in seen_deltas:
                         seen = seen.unionByName(d)
                     if len(seen_deltas) >= cfg.seen_compact_every:
-                        if seen_local_pdfs is not None:
-                            # all parts driver-visible: compaction is a
-                            # pandas concat → one fresh LocalRelation,
-                            # zero Spark jobs
-                            import pandas as pd
-
-                            merged = pd.concat(
-                                seen_local_pdfs, ignore_index=True
-                            )
-                            seen_local_pdfs = [merged]
-                            seen = _local_relation(
-                                spark, merged, "url string, url_hash bigint"
-                            )
-                        else:
-                            seen = seen.repartition(
-                                cfg.seen_partitions, "url_hash"
-                            ).localCheckpoint(eager=False)
-                            nh = _ckpt_rdd_handle(seen)
-                            retired_handles.extend(live_handles)
-                            live_handles = [nh] if nh is not None else []
+                        # a delta only exists outside the driver-visible
+                        # regime (see the deferred branch above — pandas
+                        # compaction lives in _rebuild_seen), so compaction
+                        # here is always the distributed repartition
+                        seen = seen.repartition(
+                            cfg.seen_partitions, "url_hash"
+                        ).localCheckpoint(eager=False)
+                        nh = _ckpt_rdd_handle(seen)
+                        retired_handles.extend(live_handles)
+                        live_handles = [nh] if nh is not None else []
                         seen_base, seen_deltas = seen, []
                     if seen_bloom is not None:
                         # fold the round's delta into the sidecar (word-

@@ -250,6 +250,74 @@ def test_resume_across_frontier_paths(spark, tmp_path):
         assert stitched == expected, f"resume {cap1}->{cap2} trace diverged"
 
 
+def test_resume_after_zero_discovery_round(spark, tmp_path):
+    """A committed round can discover no new links while politeness still
+    defers old-seq rows; if the globally highest-seq URL was already
+    FETCHED (its host drained fast), that snapshot's max(seq) undershoots
+    the true high-water mark. Resume must recover the mark from ALL
+    committed snapshots, not the pending frontier — otherwise the first
+    post-resume discovery re-issues an already-assigned seq (duplicate
+    seq = broken (url, seq) parity). Crafted shape: host b's only page
+    carries the max seq and is fetched in round 1 while host a still
+    defers; round 1 discovers nothing (cut there), round 2's fetch of
+    a/p3 discovers fresh links that must be numbered PAST b/p1's seq."""
+    from pyspark.sql import functions as F
+
+    def page(links=()):
+        body = "".join(f"<a href='{u}'>x</a>" for u in links)
+        return f"<html><body>{body}<p class='t'>d</p></body></html>"
+
+    rows = [
+        ("https://a.test/s.html",
+         page(["p1.html", "p2.html", "p3.html", "p4.html", "p5.html",
+               "p6.html", "https://b.test/p1.html"])),
+        ("https://b.test/seed.html", page()),
+        ("https://a.test/p3.html", page(["q1.html", "q2.html"])),
+    ] + [
+        (f"https://a.test/{n}.html", page())
+        for n in ("p1", "p2", "p4", "p5", "p6", "q1", "q2")
+    ] + [("https://b.test/p1.html", page())]
+    pages = spark.createDataFrame(rows, "url string, html string").select(
+        "url", F.encode("html", "UTF-8").alias("html")
+    )
+    app = Scraper()
+
+    @app.select(css="p.t")
+    def t(element):
+        return {"t": element.text_content()}
+
+    seed_urls = ["https://a.test/s.html", "https://b.test/seed.html"]
+    cfgkw = dict(round_seconds=3600, max_per_host=2)
+    full = CrawlJob(
+        spark, app, pages, config=CrawlConfig(max_rounds=64, **cfgkw),
+    ).run(seed_urls)
+    expected = sorted(
+        [(r["url"], r["seq"]) for r in full.trace.select("url", "seq").collect()],
+        key=lambda t: t[1],
+    )
+    cut = next(
+        (m.round for m in full.metrics if m.new_urls == 0 and m.deferred > 0),
+        None,
+    )
+    assert cut == 1, f"corpus no longer produces the shape (cut={cut})"
+    state = str(tmp_path / "state")
+    partial = CrawlJob(
+        spark, app, pages,
+        config=CrawlConfig(max_rounds=cut + 1, state_dir=state, **cfgkw),
+    ).run(seed_urls)
+    rest = CrawlJob(
+        spark, app, pages,
+        config=CrawlConfig(max_rounds=64, state_dir=state, **cfgkw),
+    ).run(seed_urls, resume=True)
+    stitched = sorted(
+        [(r["url"], r["seq"]) for r in partial.trace.select("url", "seq").collect()]
+        + [(r["url"], r["seq"]) for r in rest.trace.select("url", "seq").collect()],
+        key=lambda t: t[1],
+    )
+    assert len({s for _, s in stitched}) == len(stitched), "duplicate seqs"
+    assert stitched == expected
+
+
 def test_dedupe_none_matches_seen_on_acyclic_corpus(spark):
     """Reference-parity mode: with no URL-seen set, the acyclic duplicate-
     free corpus must still yield the same fetched set/order as dedupe='seen'
