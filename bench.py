@@ -468,6 +468,47 @@ def run_scaling() -> None:
             f"{k} {v}" for k, v in list(fl["ms_per_round_by_stage"].items())[:4]
         )
 
+    # optional 8→32 floor A/B (tools/round_floor.py 8/32, saved by hand to
+    # BENCH/round_floor_8_32.jsonl): proves the 8→32 bend is in-round, not
+    # per-round machinery. Regeneration keeps the stanza iff the artifact
+    # exists.
+    floor_8_32_block = ""
+    f832_path = os.path.join("BENCH", "round_floor_8_32.jsonl")
+    if os.path.exists(f832_path):
+        with open(f832_path) as fh:
+            f832 = {str(json.loads(ln)["cpus"]): json.loads(ln)
+                    for ln in fh if ln.strip()}
+        if "8" in f832 and "32" in f832:
+            adj32 = []
+            for w in sec["windows"]:
+                n_rounds = w["engine"]["8"]["rounds"]
+                t8 = w["engine"]["8"]["seconds"] - n_rounds * f832["8"]["sec_per_round"]
+                t32 = w["engine"]["32"]["seconds"] - n_rounds * f832["32"]["sec_per_round"]
+                if t8 > 0 and t32 > 0:
+                    adj32.append(round((t8 / t32) / 4.0, 3))
+            floor_8_32_block = f"""
+**The 8→32 bend is NOT the floor** (r5, measured —
+`BENCH/round_floor_8_32.jsonl`, back-to-back same-window legs):
+
+| parallelism | sec/round | named stages (ms/round) |
+|---|---|---|
+| local[8] | {f832["8"]["sec_per_round"]} | {_fmt_stages(f832["8"])} |
+| local[32] | {f832["32"]["sec_per_round"]} | {_fmt_stages(f832["32"])} |
+
+The itemized driver-side stages are core-count-flat (~145 ms both); the
+extra ~{round(f832["32"]["sec_per_round"] - f832["8"]["sec_per_round"], 2)} s/round at local[32] is the one materializing Spark job per
+round paying 4× the task-launch/scheduling cost on one box. Subtracting
+each leg's own floor from the 9-round 8→32 windows moves the median
+efficiency only {sec["eff_engine_median"]} → {med(adj32) if adj32 else "n/a"}
+(per-window {adj32}) — so the 8→32 bend is in-round
+work hitting the single socket's memory controllers, the same wall the
+no-Spark control hits (control median {sec["eff_control_median"]}), not
+per-round machinery. The north_rule's 4× executors bring 4× memory
+subsystems; the 2→8 pair — both legs inside the bandwidth-unconstrained
+region — is the faithful proxy, and there the engine holds {prim["engine_vs_control_median"]}
+(9-round) / {wprim["engine_vs_control_median"]} (wide) of what the hardware itself delivers.
+"""
+
     def _win_rows(s: dict) -> str:
         rows = []
         for i, w in enumerate(s["windows"]):
@@ -612,7 +653,7 @@ r3 (1.735 s/round at local[8] → see table). Subtracting the measured floor (ro
 sec/round, at the matching parallelism) from each 9-round window's legs
 isolates the parallel work: **median floor-adjusted 2→8 efficiency
 {eff_floor_adj}** (per-window: {floor_adj}).
-
+{floor_8_32_block}
 ## r5: stage-sliced attribution + the three structural fixes
 
 `tools/kernel_scaling.py` times four NESTED slices of the round's hot job
