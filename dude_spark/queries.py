@@ -2292,6 +2292,78 @@ FROM e
 """
 
 
+def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-anchor duplicated-span detection
+    (textops/dedup.py duplicated_span_docs): flag every document sharing a
+    verbatim 8-token run with another document via content-defined anchor
+    fingerprints — the scalable stand-in for suffix-array ExactSubstr
+    dedup. Alignment-robust by construction (anchor selection depends only
+    on gram content, never position)."""
+    from .textops.dedup import duplicated_span_docs
+
+    return (
+        duplicated_span_docs(_docs(spark, sf_dir), k=8, select_mod=4)
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("n_shared_anchors").cast("long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_SPAN = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5('span:' || array_to_string(list_slice(toks, i, i+7), ' ')), 1, 8))::BIGINT AS h
+  FROM norm, unnest(generate_series(1, len(toks) - 7)) AS g(i)
+  WHERE len(toks) >= 8
+), anchors AS (
+  SELECT doc_id, h AS anchor FROM grams WHERE h % 4 = 0
+), dup AS (
+  SELECT anchor FROM anchors GROUP BY anchor HAVING count(*) > 1
+)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_shared_anchors
+FROM anchors JOIN dup USING (anchor)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide top-k token bigrams (textops/quality.py
+    top_ngrams): one explode → hash-agg with map-side combine → Spark's
+    TakeOrderedAndProject (per-partition heaps, no global sort shuffle).
+    Deterministic total order: (count DESC, gram ASC) + dense rank."""
+    from .textops.quality import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=20).select(
+        F.col("rank").cast("long"),
+        "gram",
+        F.col("cnt").cast("long"),
+    )
+
+
+ORACLE_TOP_NGRAMS = r"""
+WITH norm AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), grams AS (
+  SELECT array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+  FROM norm, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE len(toks) >= 2
+), agg AS (
+  SELECT gram, count(*)::BIGINT AS cnt FROM grams GROUP BY gram
+  ORDER BY cnt DESC, gram ASC LIMIT 20
+)
+SELECT row_number() OVER (ORDER BY cnt DESC, gram ASC)::BIGINT AS rank,
+       gram, cnt
+FROM agg
+"""
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl/extract engine
@@ -2350,6 +2422,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "dedup_cc": q_dedup_cc,
         "dedup_minhash_cc": q_dedup_minhash_cc,
+        "dedup_span": q_dedup_span,
+        "topk_ngrams": q_top_ngrams,
     }
 
 
@@ -2407,4 +2481,6 @@ def oracle_sql() -> Dict[str, str]:
         "url_canonical": ORACLE_URL_CANONICAL,
         "dedup_cc": ORACLE_DEDUP_CC,
         "dedup_minhash_cc": _oracle_minhash_cc(),
+        "dedup_span": ORACLE_DEDUP_SPAN,
+        "topk_ngrams": ORACLE_TOP_NGRAMS,
     }

@@ -46,15 +46,23 @@ def tokens(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text (array<string>)."""
+    """Distinct word n-gram shingles of the normalized text (array<string>).
+
+    Docs shorter than ``n`` tokens yield an EMPTY array — ``sequence(1, x)``
+    is descending for x < 1 in Spark, so the when-guard (not ``greatest``)
+    is what keeps short docs from indexing ``element_at(t, 0)``.
+    """
     t = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    sh = F.when(
+        F.size(t) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j).cast("int")) for j in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.expr("array()").cast("array<string>"))
     return F.array_distinct(sh)
 
 
@@ -276,4 +284,81 @@ def transitive_representatives(
 
     return connected_components(pairs, src_col=a_col, dst_col=b_col).select(
         F.col("node").alias("doc_id"), F.col("component").alias("keep_doc_id")
+    )
+
+
+def duplicated_span_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    select_mod: int = 4,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Exact duplicated-span detection via content-defined anchor
+    fingerprints (winnowing-style, Schleimer et al. 2003 — the scalable
+    stand-in for suffix-array ExactSubstr dedup, Lee et al. 2021): flag
+    every document that shares a verbatim ``k``-token run with any other
+    document.
+
+    Every token ``k``-gram of the normalized text is hashed; a gram is an
+    ANCHOR iff ``hash % select_mod == 0``. Selection depends only on the
+    gram's content, so two copies of a span select IDENTICAL anchors no
+    matter where the span sits in each document — there is no
+    stride-alignment blind spot, which is why anchors beat fixed-stride
+    windows for cross-document span matching. A shared run of L ≥ k tokens
+    is caught unless none of its L-k+1 grams selects (miss probability
+    ``(1-1/select_mod)^(L-k+1)``, deterministic given content: the same
+    corpus always yields the same answer).
+
+    Returns ``(doc_id, n_shared_anchors)`` for documents sharing ≥1 anchor
+    with at least one OTHER document.
+
+    100 TB shape: grams + hashes + the mod-filter all happen inside ONE
+    projection (`transform`/`filter` over the token array — no per-position
+    rows exist until after ~(1-1/select_mod) of positions are pruned), then
+    one explode of surviving anchors, a count-over-anchor window (one
+    shuffle on a bigint key) and one hash-aggregate by doc — ONE corpus
+    scan total; a self-join against a duplicated-anchor dim would plan the
+    gram pipeline twice. Shuffle volume ≈ total_tokens / select_mod longs
+    — no pairwise comparison, no suffix array, no driver
+    state. ``hash_family='xxhash64'`` is the production twin (same
+    statistics, no md5 digest per gram); 'md5' is the DuckDB-oracle path.
+
+    Reference parity: the reference engine has no corpus-dedup surface;
+    this extends SURVEY §2's training-data-pipeline set.
+    """
+    hash_fn = HASH_FNS[hash_family]
+    t = tokens(F.col(text_col))
+    # sequence(1, 0) is DESCENDING in Spark ([1, 0]) — docs shorter than k
+    # tokens must yield an empty gram list, not two bogus indices.
+    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+    grams = F.when(
+        F.size(t) >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    hashes = F.transform(F.array_distinct(grams), lambda g: hash_fn(g, "span"))
+    anchors = F.array_distinct(
+        F.filter(hashes, lambda h: h % select_mod == F.lit(0))
+    )
+    per_doc = docs.select(
+        F.col("doc_id"), F.explode(anchors).alias("anchor")
+    )
+    # window-over-anchor, NOT a self-join against a duplicated-anchor dim:
+    # the join shape plans TWO corpus scans (both join inputs recompute the
+    # md5 gram pipeline — Catalyst does not CSE across a self-join), and at
+    # corpus scale the gram hashing IS the dominant cost. The window shape
+    # is one scan + the same two shuffles (by anchor, then by doc_id).
+    from pyspark.sql import Window
+
+    n_docs = F.count("*").over(Window.partitionBy("anchor"))
+    return (
+        per_doc.withColumn("n_docs", n_docs)
+        .filter(F.col("n_docs") > 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_anchors"))
     )

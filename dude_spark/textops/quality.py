@@ -296,3 +296,43 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_emails.cast("long").alias("n_emails"),
         n_phones.cast("long").alias("n_phones"),
     )
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """EXACT global top-``k`` most frequent token ``n``-grams over the
+    corpus (the corpus-statistics pass a training-data pipeline runs before
+    choosing filters/stopword lists).
+
+    Occurrences are positional (repeats inside one doc count), ties break
+    deterministically (count DESC, gram ASC), output carries a dense
+    ``rank`` so the result is a total order.
+
+    100 TB shape: one explode → one hash-aggregate on the gram key with
+    map-side combine (the (gram) key is heavy-tailed, which makes partial
+    aggregation collapse the head locally — the hot grams are exactly the
+    ones combined best), then ``ORDER BY count DESC LIMIT k`` which Spark
+    plans as TakeOrderedAndProject: per-partition top-k heaps merged on
+    the driver — NO global sort shuffle. Exact, not sketched: at 10^12
+    tokens the aggregate state is O(distinct grams) spread across
+    executors, and the only driver-side data is k rows.
+    """
+    from .dedup import tokens
+
+    t = tokens(F.col(text_col))
+    if n == 1:
+        grams = F.col("toks")
+    else:
+        parts = [F.expr(f"slice(toks, {j + 1}, size(toks) - {n - 1})")
+                 for j in range(n)]
+        grams = parts[0]
+        for p in parts[1:]:
+            grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+    d = docs.select(t.alias("toks")).filter(F.size("toks") >= n)
+    exploded = d.select(F.explode(grams).alias("gram"))
+    agg = exploded.groupBy("gram").agg(F.count("*").alias("cnt"))
+    ordered = agg.orderBy(F.col("cnt").desc(), F.col("gram").asc()).limit(k)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return ordered.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -261,3 +261,69 @@ def test_pii_scrub_order_contract(spark):
     assert (rows[0]["n_urls"], rows[0]["n_emails"], rows[0]["n_phones"]) == (1, 1, 1)
     assert rows[1]["scrubbed"] == "no pii here"
     assert (rows[1]["n_urls"], rows[1]["n_emails"], rows[1]["n_phones"]) == (0, 0, 0)
+
+
+def test_duplicated_span_detects_planted_shared_run(spark):
+    """A verbatim 12-token run pasted into two otherwise-different docs is
+    flagged by the winnowing anchors REGARDLESS of where the run sits in
+    each doc (the alignment-robustness a fixed-stride window lacks), and a
+    doc with no shared 8-token run stays unflagged."""
+    from dude_spark.textops.dedup import duplicated_span_docs
+
+    # 24 tokens -> 17 k=8 grams; long enough that BOTH hash families
+    # deterministically select >=1 anchor (a 12-token run has only 5 grams
+    # and xxhash64 happens to select none of them — miss prob 0.75^5).
+    run = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    )
+    rows = [
+        (1, "left filler words here " + run + " and a right tail"),
+        # same run at a very different token offset
+        (2, "x " * 37 + run),
+        (3, "completely unrelated text with no overlapping long run at all "
+            "one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for fam in ("md5", "xxhash64"):
+        flagged = {
+            r["doc_id"]
+            for r in duplicated_span_docs(docs, hash_family=fam).collect()
+        }
+        assert flagged == {1, 2}, fam
+
+
+def test_duplicated_span_short_docs_no_crash(spark):
+    """Docs shorter than k tokens yield no anchors (sequence(1, x<1) is
+    DESCENDING in Spark — the when-guard, not greatest, prevents
+    element_at(t, 0))."""
+    from dude_spark.textops.dedup import duplicated_span_docs, word_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "too short"), (3, "")],
+        "doc_id long, text string",
+    )
+    assert duplicated_span_docs(docs).count() == 0
+    # word_shingles same guard: n > token count → empty array, not [1,0]
+    sh = docs.select(word_shingles(F.col("text"), n=5).alias("s")).collect()
+    assert all(r["s"] == [] for r in sh)
+
+
+def test_top_ngrams_exact_and_tie_deterministic(spark):
+    from dude_spark.textops.quality import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b z z"), (3, "b c")],
+        "doc_id long, text string",
+    )
+    # bigrams: 'a b'×3 (doc1 twice? "a b a b c" → a b, b a, a b, b c → 'a b'×2)
+    # doc1: [a b, b a, a b, b c]; doc2: [a b, b z, z z]; doc3: [b c]
+    # counts: 'a b'=3, 'b c'=2, 'b a'=1, 'b z'=1, 'z z'=1
+    out = top_ngrams(docs, n=2, k=4).collect()
+    got = [(r["rank"], r["gram"], r["cnt"]) for r in out]
+    assert got == [
+        (1, "a b", 3),
+        (2, "b c", 2),
+        (3, "b a", 1),   # ties on cnt=1 break gram-ASC
+        (4, "b z", 1),
+    ]
