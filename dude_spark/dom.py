@@ -1000,6 +1000,8 @@ def _validate_pred(pred: str) -> None:
         return
     if _path_pred_ok(atom):
         return
+    if _generic_str_pred(None, atom, 1, 1, validate=True):
+        return
     raise ValueError(f"unsupported XPath predicate: {atom!r}")
 
 
@@ -1115,7 +1117,7 @@ class _NumParse:
 
     _TOK = re.compile(
         r"\s*(?:(?P<num>\d+)|(?P<pos>position\(\))|(?P<lst>last\(\))"
-        r"|(?P<cnt>count\()|(?P<slen>string-length\()"
+        r"|(?P<cnt>count\()|(?P<slen>string-length\()|(?P<numf>number\()"
         r"|(?P<op>div|mod|[+\-*()]))"
     )
 
@@ -1129,7 +1131,7 @@ class _NumParse:
                 if s[i:].strip():
                     raise ValueError(s)
                 break
-            if m.group("cnt") or m.group("slen"):
+            if m.group("cnt") or m.group("slen") or m.group("numf"):
                 op = m.end() - 1  # index of the '(' consumed by the token
                 end = _balanced_arg(s, op)
                 arg = s[op + 1 : end - 1]
@@ -1138,6 +1140,13 @@ class _NumParse:
                     if m.group("cnt"):
                         p = arg.strip()
                         _parse_xpath(p if p.startswith((".", "/")) else "./" + p)
+                    elif m.group("numf"):
+                        # number(X): string-expression OR location path
+                        # (number(node-set) = number(string(node-set)));
+                        # strict node-test so number(frob()) raises instead
+                        # of silently evaluating an empty node-set to NaN
+                        if not _valid_strarg(arg) and not _path_pred_ok(arg):
+                            raise ValueError(s)
                     elif not _valid_strarg(arg):
                         raise ValueError(s)
                     self.toks.append(1)
@@ -1145,6 +1154,8 @@ class _NumParse:
                     raise ValueError(s)
                 elif m.group("cnt"):
                     self.toks.append(len(_rel_nodes(el, arg)))
+                elif m.group("numf"):
+                    self.toks.append(_xpath_number_of(el, arg))
                 else:
                     self.toks.append(len(_string_value_of(el, arg)))
                 i = end
@@ -1201,30 +1212,179 @@ class _NumParse:
                 raise ValueError("unbalanced paren")
             self.i += 1
             return v
-        if isinstance(t, int):
+        if isinstance(t, (int, float)):
             self.i += 1
             return t
         raise ValueError(f"bad numeric token: {t!r}")
 
 
-def _valid_strarg(a: str) -> bool:
-    """Grammar of string-function arguments: '', '.', 'text()', '@attr',
-    normalize-space(<any of those>), or string(<any of those> | relative
-    location path) — string() of a node-set takes the FIRST node's string
-    value (XPath 1.0 §4.2)."""
+# XPath 1.0 literals have NO escape mechanism: a '...' literal cannot
+# contain ', so [^'] / [^"] is the exact grammar (and keeps "'a' = 'b'"
+# from matching as ONE literal with an interior quote).
+_STR_LIT = re.compile(r"""^(?:'(?P<v1>[^']*)'|"(?P<v2>[^"]*)")$""")
+_FN_CALL = re.compile(r"^([\w-]+)\(")
+_ATTR_REF = re.compile(r"^@[\w-]+$")
+
+
+def _fn_call(a: str) -> Optional[Tuple[str, str]]:
+    """``(name, inner)`` iff ``a`` is exactly one ``name( ... )`` call whose
+    closing paren is the LAST character (quote-aware balance), else None."""
+    m = _FN_CALL.match(a)
+    if not m:
+        return None
+    try:
+        end = _balanced_arg(a, m.end() - 1)
+    except ValueError:
+        return None
+    if end != len(a):
+        return None
+    return m.group(1), a[m.end() : end - 1]
+
+
+def _split_args(s: str) -> List[str]:
+    """Split a function-argument list on top-level commas (outside quotes,
+    parens, and brackets)."""
+    out: List[str] = []
+    depth = 0
+    q: Optional[str] = None
+    last = 0
+    for i, c in enumerate(s):
+        if q:
+            if c == q:
+                q = None
+        elif c in "\"'":
+            q = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(s[last:i])
+            last = i + 1
+    out.append(s[last:])
+    return out
+
+
+def _str_of(el: Optional[Element], a: str, validate: bool = False) -> str:
+    """Recursive XPath 1.0 string-expression evaluator (the argument
+    grammar of contains/starts-with/string-length/= comparisons):
+
+    literal | '' | '.' | text() | @attr | normalize-space(X?) |
+    string(X | relative-path) | concat(X, X, ...) | translate(X, X, X) |
+    substring-before(X, X) | substring-after(X, X) | substring(X, int[, int])
+
+    ``validate=True`` grammar-checks without an element (node-valued leaves
+    yield ''). Raises ValueError on off-grammar input either way — parse
+    time and eval time reject identically, so a typo'd selector can never
+    silently become an empty match (same contract as _validate_pred)."""
     a = a.strip()
-    if a.startswith("normalize-space(") and a.endswith(")"):
-        return _valid_strarg(a[16:-1])
-    if a.startswith("string(") and a.endswith(")"):
-        inner = a[7:-1].strip()
-        if _valid_strarg(inner):
-            return True
+    m = _STR_LIT.match(a)
+    if m:
+        v1 = m.group("v1")
+        return v1 if v1 is not None else m.group("v2")
+    if a in ("", "."):
+        return "" if validate else el.text_content()
+    if a == "text()":
+        return "" if validate else el.first_text()
+    if _ATTR_REF.match(a):
+        return "" if validate else (el.attrib.get(a[1:]) or "")
+    fc = _fn_call(a)
+    if fc is None:
+        raise ValueError(f"unsupported string argument: {a!r}")
+    fn, inner = fc
+    if fn == "normalize-space":
+        return " ".join(_str_of(el, inner, validate).split())
+    if fn == "string":
         try:
-            _parse_xpath(inner if inner.startswith((".", "/")) else "./" + inner)
-            return True
+            return _str_of(el, inner, validate)
         except ValueError:
-            return False
-    return a in ("", ".", "text()") or re.fullmatch(r"@[\w-]+", a) is not None
+            pass
+        # node-set → string value of the FIRST node in document order
+        # ('' when empty) — XPath 1.0 §4.2 string() conversion. Strict
+        # node-test per step so string(frob()) raises instead of silently
+        # becoming an empty node-set → ''.
+        p = inner.strip()
+        for step in _parse_xpath(p if p.startswith((".", "/")) else "./" + p):
+            if not _XP_NODETEST.match(step.name):
+                raise ValueError(f"unsupported string argument: {a!r}")
+        if validate:
+            return ""
+        nodes = _rel_nodes(el, inner)
+        if not nodes:
+            return ""
+        first = nodes[0]
+        return first.text_content() if isinstance(first, Element) else str(first)
+    if fn == "concat":
+        args = _split_args(inner)
+        if len(args) < 2:
+            raise ValueError(f"concat() needs >=2 arguments: {a!r}")
+        return "".join(_str_of(el, x, validate) for x in args)
+    if fn == "translate":
+        args = _split_args(inner)
+        if len(args) != 3:
+            raise ValueError(f"translate() needs 3 arguments: {a!r}")
+        s, frm, to = (_str_of(el, x, validate) for x in args)
+        out = []
+        for ch in s:
+            j = frm.find(ch)  # first occurrence wins (XPath 1.0 §4.2)
+            if j < 0:
+                out.append(ch)
+            elif j < len(to):
+                out.append(to[j])
+            # else: char is deleted
+        return "".join(out)
+    if fn in ("substring-before", "substring-after"):
+        args = _split_args(inner)
+        if len(args) != 2:
+            raise ValueError(f"{fn}() needs 2 arguments: {a!r}")
+        s = _str_of(el, args[0], validate)
+        t = _str_of(el, args[1], validate)
+        if t == "":
+            # '' occurs at position 0: nothing precedes it, everything
+            # follows it (libxml2 parity)
+            return "" if fn == "substring-before" else s
+        pre, sep, post = s.partition(t)
+        if not sep:
+            return ""
+        return pre if fn == "substring-before" else post
+    if fn == "substring":
+        args = _split_args(inner)
+        if len(args) not in (2, 3):
+            raise ValueError(f"substring() needs 2-3 arguments: {a!r}")
+        s = _str_of(el, args[0], validate)
+        try:
+            start = int(args[1])
+            length = int(args[2]) if len(args) == 3 else None
+        except ValueError:
+            raise ValueError(
+                f"substring() positions must be integers: {a!r}"
+            ) from None
+        return _xpath_substring(s, start, length)
+    raise ValueError(f"unsupported string argument: {a!r}")
+
+
+def _valid_strarg(a: str) -> bool:
+    """Grammar check of one string-expression (see :func:`_str_of`)."""
+    try:
+        _str_of(None, a, validate=True)
+        return True
+    except ValueError:
+        return False
+
+
+_XP_NUM_LEXEME = re.compile(r"-?(\d+(\.\d*)?|\.\d+)")
+
+
+def _xpath_number_of(el: Element, arg: str) -> float:
+    """XPath 1.0 number(): trimmed string that is a numeric lexeme → its
+    IEEE double, anything else → NaN; number(node-set) converts through
+    string() (first node's string value)."""
+    try:
+        s = _str_of(el, arg)
+    except ValueError:
+        s = _str_of(el, f"string({arg})")
+    t = s.strip()
+    return float(t) if _XP_NUM_LEXEME.fullmatch(t) else float("nan")
 
 
 def _num_of(
@@ -1295,30 +1455,97 @@ def _strcmp_match(atom: str):
 
 
 def _string_value_of(el: Element, arg: str) -> str:
-    """String value of a predicate-function argument: '' / '.' → full text
-    content (node string value), 'text()' → first text node, '@attr',
-    'normalize-space(<any of those>)' → recursively normalized."""
-    a = arg.strip()
-    if a.startswith("normalize-space(") and a.endswith(")"):
-        return " ".join(_string_value_of(el, a[16:-1]).split())
-    if a.startswith("string(") and a.endswith(")"):
-        inner = a[7:-1].strip()
-        if _valid_strarg(inner):
-            return _string_value_of(el, inner)
-        # node-set → string value of the FIRST node in document order
-        # ('' when empty) — XPath 1.0 §4.2 string() conversion
-        nodes = _rel_nodes(el, inner)
-        if not nodes:
-            return ""
-        first = nodes[0]
-        return first.text_content() if isinstance(first, Element) else str(first)
-    if a in ("", "."):
-        return el.text_content()
-    if a == "text()":
-        return el.first_text()
-    if a.startswith("@"):
-        return el.attrib.get(a[1:]) or ""
-    raise ValueError(f"unsupported string argument: {arg!r}")
+    """String value of a predicate-function argument — full recursive
+    string-expression grammar; see :func:`_str_of`."""
+    return _str_of(el, arg)
+
+
+def _split_eq(s: str) -> Tuple[str, Optional[str], str]:
+    """Split on the first top-level ``=`` / ``!=`` (outside quotes, parens,
+    brackets); ``<=`` / ``>=`` are NOT equality and yield (s, None, '')."""
+    depth = 0
+    q: Optional[str] = None
+    for i, c in enumerate(s):
+        if q:
+            if c == q:
+                q = None
+        elif c in "\"'":
+            q = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "=" and depth == 0:
+            if i > 0 and s[i - 1] == "!":
+                return s[: i - 1], "!=", s[i + 1 :]
+            if i > 0 and s[i - 1] in "<>":
+                return s, None, ""
+            return s[:i], "=", s[i + 1 :]
+    return s, None, ""
+
+
+def _generic_str_pred(
+    el: Optional[Element], atom: str, position: int, total: int,
+    validate: bool = False,
+) -> Optional[bool]:
+    """Generalized string-expression predicate — the grammar tail the
+    fixed-shape regexes (_XP_PRED/_XP_STRCMP) don't reach:
+
+    - ``contains(X, Y)`` / ``starts-with(X, Y)`` with ARBITRARY
+      string-expressions on both sides (the common class-match idiom
+      ``contains(concat(' ', @class, ' '), ' x ')``)
+    - ``X = Y`` / ``X != Y`` over string-expressions (``translate(@c,
+      'ABC', 'abc') = 'x'``)
+    - ``boolean(X)``: node-set form (``@attr`` presence, location path)
+      checked BEFORE the string form — boolean(@a) is true for a PRESENT
+      but empty attribute, where string conversion would say false
+
+    Returns None when ``atom`` is not of this shape or off-grammar (the
+    caller raises its own error); ``validate=True`` grammar-checks only.
+    """
+    try:
+        fc = _fn_call(atom.strip())
+        if fc and fc[0] in ("contains", "starts-with"):
+            args = _split_args(fc[1])
+            if len(args) != 2:
+                return None
+            x = _str_of(el, args[0], validate)
+            y = _str_of(el, args[1], validate)
+            if validate:
+                return True
+            return (y in x) if fc[0] == "contains" else x.startswith(y)
+        if fc and fc[0] == "boolean":
+            inner = fc[1].strip()
+            if _ATTR_REF.match(inner):
+                return True if validate else inner[1:] in el.attrib
+            if _path_pred_ok(inner):
+                return True if validate else _path_pred_eval(el, inner)
+            v = _num_of(inner, position, total, el, validate)
+            if v is not None:
+                import math
+
+                return True if validate else (v != 0 and not math.isnan(v))
+            s = _str_of(el, inner, validate)
+            return True if validate else s != ""
+        lhs, op, rhs = _split_eq(atom)
+        if op is not None:
+            # a bare @attr side is a NODE-SET: comparison is existential
+            # (XPath 1.0 §3.4) — a missing attribute makes BOTH = and !=
+            # false, unlike string coercion which would compare against ''
+            ln = _ATTR_REF.match(lhs.strip()) is not None
+            rn = _ATTR_REF.match(rhs.strip()) is not None
+            x = _str_of(el, lhs, validate)
+            y = _str_of(el, rhs, validate)
+            if validate:
+                return True
+            if ln and lhs.strip()[1:] not in el.attrib:
+                return False
+            if rn and rhs.strip()[1:] not in el.attrib:
+                return False
+            return (x == y) if op == "=" else (x != y)
+    except ValueError:
+        return None
+    return None
 
 
 def _xpath_substring(s: str, start: int, length: Optional[int]) -> str:
@@ -1357,6 +1584,9 @@ def _pred_atom(el: Element, pred: str, position: int, total: int) -> bool:
             return r
         if _path_pred_ok(pred):
             return _path_pred_eval(el, pred)
+        g = _generic_str_pred(el, pred, position, total)
+        if g is not None:
+            return g
         raise ValueError(f"unsupported XPath predicate: {pred!r}")
     if m.group("cattr"):
         return m.group("cval") in (el.attrib.get(m.group("cattr")) or "")

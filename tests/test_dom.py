@@ -80,7 +80,11 @@ def test_unsupported_selectors_raise():
         xpath_select(root, "following-sibling::div")  # no leading / or //
     root2 = parse_html("<section><div><p>x</p></div></section>")
     with pytest.raises(ValueError):
-        xpath_select(root2, ".//div[boolean(@x)]")  # boolean(): unsupported
+        # variables need external bindings — lxml also raises (undefined
+        # variable) when none are passed; boolean(@x) is supported since r5
+        xpath_select(root2, ".//div[$v]")
+    with pytest.raises(ValueError):
+        xpath_select(root2, ".//div[id('a')]")  # id() unsupported
 
 
 def test_xpath_string_function():
@@ -486,6 +490,57 @@ def test_xpath_path_existence_predicates():
     assert ids(".//span[em | b]") == ["s"]                  # union
     assert ids(".//div[//em]") == ["d1", "d2", "d3"]        # absolute
     # off-grammar atoms still raise — the path branch must not swallow them
-    for bad in (".//div[foo(bar)]", ".//div[@a = @b]", ".//div[p >< q]"):
+    # (@a = @b moved to supported in r5: existential node-set comparison)
+    for bad in (".//div[foo(bar)]", ".//div[p >< q]"):
+        with pytest.raises(ValueError):
+            xpath_select(root, bad)
+
+
+def test_xpath_string_expression_tail():
+    """r5: generalized string expressions — concat/translate/
+    substring-before/after compose freely inside contains/starts-with/
+    =/!= and string-length(); boolean() and number() conversions."""
+    root = parse_html(
+        '<body><div id="d1"><p id="p1" class="x y">one</p>'
+        '<span id="s1" data-n="3">two</span></div>'
+        '<div id="d2"><p id="p2" class="" data-e="">three</p></div></body>'
+    )
+    ids = lambda xp: [e.get("id") for e in xpath_select(root, xp)]
+    # the canonical class-match idiom
+    assert ids(".//p[contains(concat(' ', @class, ' '), ' x ')]") == ["p1"]
+    assert ids(".//p[contains(concat(' ', normalize-space(@class), ' '), ' q ')]") == []
+    # translate: first-occurrence wins, over-long from deletes
+    assert ids(".//p[translate(@class, 'XY', 'xy') = 'x y']") == ["p1"]
+    assert ids(".//p[translate(., 'oneZ', 'ONE') = 'ONE']") == ["p1"]  # Z deleted
+    # substring-before / substring-after
+    assert ids(".//p[substring-before(@class, ' ') = 'x']") == ["p1"]
+    assert ids(".//p[substring-after(@class, ' ') = 'y']") == ["p1"]
+    # no-occurrence → '' for both
+    assert ids(".//p[substring-before(@class, 'z') = '']") == ["p1", "p2"]
+    # boolean(): node-set form — PRESENT-but-empty attribute is true
+    assert ids(".//p[boolean(@data-e)]") == ["p2"]
+    assert ids(".//p[boolean(@class)]") == ["p1", "p2"]
+    assert ids(".//p[boolean(normalize-space(@class))]") == ["p1"]  # string form
+    # number(): numeric lexeme → double, else NaN (all comparisons false)
+    assert ids(".//span[number(@data-n) = 3]") == ["s1"]
+    assert ids(".//p[number(@data-n) > 0]") == []          # NaN
+    assert ids(".//span[number(.) != number(.)]") == ["s1"]  # NaN != NaN true
+    assert ids(".//div[number(span/@data-n) = 3]") == ["d1"]  # node-set conv
+    # string-length over a composed expression
+    assert ids(".//p[string-length(concat(@class, '!')) = 4]") == ["p1"]
+    # existential @a = @b: missing attribute → both = and != false
+    assert ids(".//p[@class = @class]") == ["p1", "p2"]
+    assert ids(".//p[@data-e = @missing]") == []
+    assert ids(".//p[@data-e != @missing]") == []
+    # off-grammar forms raise at parse time
+    for bad in (
+        ".//p[contains(@class)]",            # arity
+        ".//p[translate(@class, 'a') = '']", # arity
+        ".//p[concat(@class) = '']",         # arity
+        ".//p[number(frob()) = 1]",          # bad node test
+        ".//p[string(frob()) = '']",         # bad node test
+        ".//p[boolean(frob())]",
+        ".//p[frob(@class) = 'x']",
+    ):
         with pytest.raises(ValueError):
             xpath_select(root, bad)

@@ -598,11 +598,14 @@ CSS_UNSUPPORTED = [
     ":focus-within", "div:dir(ltr)", "div:has(a", ":is(div,, p)",
 ]
 XPATH_UNSUPPORTED = [
+    # substring-after/translate/number/boolean moved to SUPPORTED in r5
+    # (generalized string-expression grammar) — replaced with forms that
+    # stay off-grammar: wrong arity, unknown functions, variables, id().
     ".//div[name(@x) = 'div']", ".//div[lang('en')]",
-    ".//div[substring-after(@x, 'a') = 'b']", ".//div[$var = 1]",
-    ".//div[string(@x, 'y')]", ".//div[boolean(@x)]", ".//div[string(p]",
-    ".//div[translate(@x, 'a', 'b') = 'b']",
-    ".//div[number(@x) = 1]", "div/p",  # no leading / or //
+    ".//div[substring-after(@x) = 'b']", ".//div[$var = 1]",
+    ".//div[string(@x, 'y')]", ".//div[id('a')]", ".//div[string(p]",
+    ".//div[translate(@x, 'a') = 'b']",
+    ".//div[number(frob()) = 1]", "div/p",  # no leading / or //
 ]
 
 JUNK_TOKENS = [":!", "[[", "]]", "((", "::", "@@", "$x", "?", "%%", "[a?='v']"]
