@@ -1602,8 +1602,13 @@ def _pred_atom(el: Element, pred: str, position: int, total: int) -> bool:
     if m.group("teq") is not None:
         return el.first_text() == m.group("teq")
     if m.group("eattr"):
-        eq = el.attrib.get(m.group("eattr")) == m.group("eval")
-        return not eq if m.group("neq") else eq
+        # bare @attr is a NODE-SET: comparison is existential (XPath 1.0
+        # §3.4, lxml parity) — a MISSING attribute makes both = and !=
+        # false. string(@attr) = 'v' is the coercion form (missing → '').
+        v = el.attrib.get(m.group("eattr"))
+        if v is None:
+            return False
+        return (v != m.group("eval")) if m.group("neq") else (v == m.group("eval"))
     if m.group("nsfn"):
         v = _normalize_space_of(el, m.group("nsarg1"))
         if m.group("nsfn") == "contains":

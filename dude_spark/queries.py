@@ -732,6 +732,47 @@ def q_xpath_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pathd(element):
         return {"t": "pathd", "v": element.text_content()}
 
+    # r5 string-expression tail (_str_of grammar): the canonical
+    # concat class-match idiom — whole-word 'title' in @class
+    @app.select(xpath=".//p[contains(concat(' ', @class, ' '), ' title ')]")
+    def conc(element):
+        return {"t": "conc", "v": element.text_content()}
+
+    # translate(): upcase a prefix of the class before comparing
+    @app.select(xpath=".//p[translate(substring(@class, 1, 4),"
+                      " 'desc', 'DESC') = 'DESC']")
+    def tran(element):
+        return {"t": "tran", "v": element.text_content()}
+
+    # substring-before / substring-after over attributes
+    @app.select(xpath=".//a[substring-before(@href, '-') = 'item']/p")
+    def sbef(element):
+        return {"t": "sbef", "v": element.text_content()}
+
+    @app.select(xpath=".//a[substring-after(@class, 'sel') = 'f']")
+    def saft(element):
+        return {"t": "saft", "v": element.text_content()}
+
+    # number() through nested string functions: next-links whose TARGET
+    # page number is odd (page-{2*local+1}.html, i.e. the 'Next 1' child)
+    @app.select(xpath=".//a[@class='next'][number(substring-before("
+                      "substring-after(@href, 'page-'), '.html')) mod 2 = 1]")
+    def numo(element):
+        return {"t": "numo", "v": element.text_content()}
+
+    # boolean(): node-set form — groups WITHOUT a direct <p> child
+    # (the description-less group 2), the boolean() twin of pathd
+    @app.select(xpath=".//div[@class='custom-group'][not(boolean(p))]/a/p")
+    def boolg(element):
+        return {"t": "boolg", "v": element.text_content()}
+
+    # existential @a = @b / != (XPath 1.0 §3.4): every <a> carries both
+    # @class and @href and they never coincide — but elements missing
+    # either attribute must NOT match (!= over an empty node-set is false)
+    @app.select(xpath=".//a[@class != @href]")
+    def attrne(element):
+        return {"t": "attrne", "v": element.text_content()}
+
     ext = _extract_once(spark, sf_dir, app)
     return ext.filter(F.col("kind") == "data").select(
         "page_url",
@@ -787,6 +828,26 @@ UNION ALL
 SELECT url, 'pathp', 'Title ' || doc_id || '-' || k FROM ks WHERE k != 2
 UNION ALL
 SELECT url, 'pathd', 'Title ' || doc_id || '-2' FROM layout WHERE n_groups >= 2
+UNION ALL
+SELECT url, 'conc', 'Title ' || doc_id || '-' || k FROM ks
+UNION ALL
+SELECT url, 'tran', 'Description ' || doc_id || '-' || k FROM ks WHERE k != 2
+UNION ALL
+SELECT url, 'sbef', 'Title ' || doc_id || '-' || k FROM ks
+UNION ALL
+SELECT url, 'saft', 'Self' FROM layout
+UNION ALL
+SELECT url, 'numo', 'Next 1' FROM layout WHERE 2 * local + 1 < n_local
+UNION ALL
+SELECT url, 'boolg', 'Title ' || doc_id || '-2' FROM layout WHERE n_groups >= 2
+UNION ALL
+SELECT url, 'attrne', 'Title ' || doc_id || '-' || k FROM ks
+UNION ALL
+SELECT url, 'attrne', 'Next ' || c
+FROM (SELECT *, unnest(generate_series(1, 2)) AS c FROM layout)
+WHERE 2 * local + c < n_local
+UNION ALL
+SELECT url, 'attrne', 'Self' FROM layout
 """
 
 

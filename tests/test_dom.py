@@ -195,6 +195,12 @@ def test_xpath_boolean_predicates_and_axes():
     assert t(xpath_select(root, ".//span/preceding-sibling::p[1]")) == ["a"]
     assert t(xpath_select(root, ".//span/../p")) == ["a", "b"]
     assert t(xpath_select(root, './/li[@class!="b"]')) == ["one", "three"]
+    # r5 spec alignment (lxml parity): bare @attr is a node-set — a missing
+    # attribute makes BOTH = and != false; string(@attr) coerces to ''
+    assert t(xpath_select(root, './/li[@data-x != "beta"]')) == ["one"]
+    assert t(xpath_select(root, './/li[string(@data-x) != "beta"]')) == [
+        "one", "two", "three",
+    ]
 
 
 def test_void_and_misnested():

@@ -407,9 +407,94 @@ def test_css_selector_parity_fuzz(block: int) -> None:
 CMP_OPS = ["=", "!=", "<", ">", "<=", ">="]
 
 
+# -- string-expression sub-grammar (r5: the _str_of tail) -------------------
+
+STR_LITS = ["one", "e", "al", "", "t w"]
+TR_FROM = ["abc", "on", "etw", "o"]
+TR_TO = ["ABC", "ON", "", "0"]
+
+
+def gen_strexpr(rng: random.Random, depth: int = 0):
+    kinds = ["sattr", "slit"]
+    if depth < 2:
+        kinds += ["sconcat", "sns", "stranslate", "sbefore", "safter"]
+    k = rng.choice(kinds)
+    if k == "sattr":
+        return ("sattr", rng.choice(ATTRS + ["class"]))
+    if k == "slit":
+        return ("slit", rng.choice(STR_LITS))
+    if k == "sconcat":
+        return ("sconcat",
+                [gen_strexpr(rng, depth + 1) for _ in range(rng.randint(2, 3))])
+    if k == "sns":
+        return ("sns", gen_strexpr(rng, depth + 1))
+    if k == "stranslate":
+        return ("stranslate", gen_strexpr(rng, depth + 1),
+                rng.choice(TR_FROM), rng.choice(TR_TO))
+    return (k, gen_strexpr(rng, depth + 1), gen_strexpr(rng, depth + 1))
+
+
+def render_strexpr(s) -> str:
+    k = s[0]
+    if k == "sattr":
+        return f"@{s[1]}"
+    if k == "slit":
+        return f"'{s[1]}'"
+    if k == "sconcat":
+        return "concat(" + ", ".join(render_strexpr(x) for x in s[1]) + ")"
+    if k == "sns":
+        return f"normalize-space({render_strexpr(s[1])})"
+    if k == "stranslate":
+        return f"translate({render_strexpr(s[1])}, '{s[2]}', '{s[3]}')"
+    fn = "substring-before" if k == "sbefore" else "substring-after"
+    return f"{fn}({render_strexpr(s[1])}, {render_strexpr(s[2])})"
+
+
+def eval_strexpr(s, el: Element) -> str:
+    """Independent spec evaluation of the string sub-grammar (coercion:
+    a missing attribute reads as '' — node-set existential rules apply
+    only at the top level of =/!= and are handled by the callers)."""
+    k = s[0]
+    if k == "sattr":
+        return el.attrib.get(s[1]) or ""
+    if k == "slit":
+        return s[1]
+    if k == "sconcat":
+        return "".join(eval_strexpr(x, el) for x in s[1])
+    if k == "sns":
+        return " ".join(eval_strexpr(s[1], el).split())
+    if k == "stranslate":
+        src, frm, to = eval_strexpr(s[1], el), s[2], s[3]
+        out = []
+        for ch in src:
+            i = frm.find(ch)  # first occurrence wins
+            if i == -1:
+                out.append(ch)
+            elif i < len(to):
+                out.append(to[i])
+            # else: over-long from deletes the character
+        return "".join(out)
+    a = eval_strexpr(s[1], el)
+    b = eval_strexpr(s[2], el)
+    if b == "":  # libxml2 parity: '' precedes nothing, follows everything
+        return "" if k == "sbefore" else a
+    pre, sep, post = a.partition(b)
+    if not sep:
+        return ""
+    return pre if k == "sbefore" else post
+
+
+def _bare_attr_missing(s, el: Element) -> bool:
+    """A top-level BARE @attr side of =/!= is a node-set: when the
+    attribute is absent the node-set is empty and the comparison is false
+    regardless of operator (XPath 1.0 §3.4)."""
+    return s[0] == "sattr" and s[1] not in el.attrib
+
+
 def gen_pred(rng: random.Random, depth: int = 0):
     kinds = ["posbare", "poscmp", "last", "attr", "attreq", "contains",
-             "count", "strlen", "strpath", "path"]
+             "count", "strlen", "strpath", "path",
+             "strcmp2", "strfn2", "boolattr", "attrcmp"]
     if depth < 1:
         kinds += ["and", "or", "not"]
     k = rng.choice(kinds)
@@ -422,11 +507,26 @@ def gen_pred(rng: random.Random, depth: int = 0):
     if k == "attr":
         return ("attr", rng.choice(ATTRS + ["class", "id"]))
     if k == "attreq":
-        # wrap flag: render @a as string(@a) — same semantics (both the
-        # engine and this naive eval use string-conversion for @attr, so a
-        # missing attribute compares as '')
+        # wrap flag: render @a as string(@a) — DIFFERENT semantics since
+        # r5's spec alignment: bare @a is a node-set (missing attribute →
+        # both = and != false), string(@a) coerces missing to ''
         return ("attreq", rng.choice(ATTRS), rng.choice([v for v in VALS if v]),
                 rng.random() < 0.3, rng.random() < 0.4)
+    if k == "strcmp2":
+        # X = Y / X != Y over arbitrary string expressions
+        return ("strcmp2", gen_strexpr(rng), gen_strexpr(rng),
+                rng.random() < 0.4)
+    if k == "strfn2":
+        # contains/starts-with over arbitrary string expressions
+        return ("strfn2", rng.choice(["contains", "starts-with"]),
+                gen_strexpr(rng), gen_strexpr(rng))
+    if k == "boolattr":
+        # wrap flag: boolean(normalize-space(@a)) is the STRING form
+        # (non-empty), bare boolean(@a) the node-set form (presence)
+        return ("boolattr", rng.choice(ATTRS + ["class"]), rng.random() < 0.5)
+    if k == "attrcmp":
+        return ("attrcmp", rng.choice(ATTRS + ["class"]),
+                rng.choice(ATTRS + ["class"]), rng.random() < 0.4)
     if k == "contains":
         return ("contains", rng.choice(ATTRS), rng.choice(["on", "e", "al"]),
                 rng.random() < 0.4)
@@ -462,6 +562,16 @@ def render_pred(p) -> str:
     if k == "attreq":
         arg = f"string(@{p[1]})" if p[4] else f"@{p[1]}"
         return f"{arg} {'!=' if p[3] else '='} '{p[2]}'"
+    if k == "strcmp2":
+        return (f"{render_strexpr(p[1])} {'!=' if p[3] else '='} "
+                f"{render_strexpr(p[2])}")
+    if k == "strfn2":
+        return f"{p[1]}({render_strexpr(p[2])}, {render_strexpr(p[3])})"
+    if k == "boolattr":
+        return (f"boolean(normalize-space(@{p[1]}))" if p[2]
+                else f"boolean(@{p[1]})")
+    if k == "attrcmp":
+        return f"@{p[1]} {'!=' if p[3] else '='} @{p[2]}"
     if k == "contains":
         arg = f"string(@{p[1]})" if p[3] else f"@{p[1]}"
         return f"contains({arg}, '{p[2]}')"
@@ -499,7 +609,28 @@ def eval_pred(p, el: Element, pos: int, total: int) -> bool:
     if k == "attr":
         return p[1] in el.attrib
     if k == "attreq":
-        eq = el.attrib.get(p[1]) == p[2]
+        if not p[4] and p[1] not in el.attrib:
+            return False  # bare @a: empty node-set → = and != both false
+        eq = (el.attrib.get(p[1]) or "") == p[2]
+        return not eq if p[3] else eq
+    if k == "strcmp2":
+        if _bare_attr_missing(p[1], el) or _bare_attr_missing(p[2], el):
+            return False
+        eq = eval_strexpr(p[1], el) == eval_strexpr(p[2], el)
+        return not eq if p[3] else eq
+    if k == "strfn2":
+        # function arguments coerce through string() — no existential rule
+        x = eval_strexpr(p[2], el)
+        y = eval_strexpr(p[3], el)
+        return (y in x) if p[1] == "contains" else x.startswith(y)
+    if k == "boolattr":
+        if p[2]:
+            return bool(" ".join((el.attrib.get(p[1]) or "").split()))
+        return p[1] in el.attrib
+    if k == "attrcmp":
+        if p[1] not in el.attrib or p[2] not in el.attrib:
+            return False
+        eq = el.attrib[p[1]] == el.attrib[p[2]]
         return not eq if p[3] else eq
     if k == "contains":
         return p[2] in (el.attrib.get(p[1]) or "")
