@@ -2425,6 +2425,156 @@ FROM agg
 """
 
 
+# fixed query set over the corpus vocabulary (documents.parquet is built
+# from a closed word list — TESTDATA.md)
+BM25_QUERIES = [
+    ("q_hash_join", "hash join"),
+    ("q_window_agg", "window agg order"),
+    ("q_slow_scan", "slow scan"),
+]
+BM25_K = 10
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k per query (textops/search.py bm25_topk): posting-list
+    pruned scoring with ORDER-INDEPENDENT integer ppm per-term scores
+    (floor before sum — float addition order can't flip a rank)."""
+    from .textops.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=BM25_K).select(
+        "query_id",
+        F.col("rank").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("score_ppm").cast("long"),
+    )
+
+
+def _oracle_bm25() -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{term}')"
+        for qid, qtext in BM25_QUERIES
+        for term in dict.fromkeys(qtext.lower().split())
+    )
+    # literal arithmetic ((1.2+1.0), (1.0-0.75)) mirrors the Spark column
+    # tree op-for-op so both engines run the identical IEEE sequence
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), q(query_id, term) AS (VALUES {qvals}),
+cand AS (
+  SELECT q.query_id, tf.doc_id,
+         floor(
+           1000000.0
+           * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * ((tf * (1.2 + 1.0))
+              / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (sum_dl / n_docs)))))
+         )::BIGINT AS term_ppm
+  FROM tf
+  JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats
+), scored AS (
+  SELECT query_id, doc_id, sum(term_ppm)::BIGINT AS score_ppm,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY sum(term_ppm) DESC, doc_id ASC
+         )::BIGINT AS rank
+  FROM cand GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score_ppm FROM scored WHERE rank <= {BM25_K}
+"""
+
+
+# per-language keep fractions for the stratified-sample query: exact
+# integer thresholds floor(frac * 2^32), computed once here and embedded
+# in BOTH engines so the keep decision is pure integer arithmetic
+SAMPLE_FRACTIONS = {"en": 0.25, "fr": 0.5, "de": 0.75, "es": 1.0}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language subsample (textops/sampling.py
+    stratified_sample): Knuth multiplicative hash on doc_id vs per-stratum
+    integer thresholds — no randomness source, no shuffle, replayable row
+    by row (zh is absent from the fraction map → dropped)."""
+    from .textops.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), SAMPLE_FRACTIONS).select(
+        F.col("doc_id").cast("long"),
+        "lang",
+        F.col("sample_bucket").cast("long"),
+    )
+
+
+def _oracle_stratified() -> str:
+    from .textops.sampling import KNUTH32, MOD32
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(frac * MOD32)}"
+        for s, frac in sorted(SAMPLE_FRACTIONS.items())
+    )
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, lang,
+       ((doc_id * {KNUTH32}) % {MOD32})::BIGINT AS sample_bucket
+FROM documents
+WHERE (doc_id * {KNUTH32}) % {MOD32}
+      < CASE lang {cases} ELSE 0 END
+"""
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (textops/sampling.py dsir_importance):
+    hashed-bigram likelihood ratio of the lang='en' target vs the raw
+    corpus, per-bucket log-ratio floor-scaled to integer ppm BEFORE the
+    per-document sum (order-independent cross-engine)."""
+    from .textops.sampling import dsir_importance
+
+    return dsir_importance(
+        _docs(spark, sf_dir), F.col("lang") == "en", n_buckets=4096
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.col("weight_ppm").cast("long"),
+        F.col("n_bigrams").cast("long"),
+    )
+
+
+ORACLE_DSIR = r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, is_target,
+         ('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8))::BIGINT % 4096
+           AS bucket
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+), counts AS (
+  SELECT bucket, count(*)::BIGINT AS c_raw,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS c_tgt
+  FROM occ GROUP BY 1
+), tot AS (
+  SELECT sum(c_raw)::BIGINT AS t_raw, sum(c_tgt)::BIGINT AS t_tgt FROM counts
+), ratios AS (
+  SELECT bucket,
+         floor(1000000.0 * ln(((c_tgt + 1.0) / (t_tgt + 4096.0))
+                              / ((c_raw + 1.0) / (t_raw + 4096.0))))::BIGINT
+           AS ratio_ppm
+  FROM counts CROSS JOIN tot
+)
+SELECT doc_id::BIGINT AS doc_id, sum(ratio_ppm)::BIGINT AS weight_ppm,
+       count(*)::BIGINT AS n_bigrams
+FROM occ JOIN ratios USING (bucket)
+GROUP BY doc_id
+"""
+
+
 def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # crawl/extract engine
@@ -2485,6 +2635,9 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_cc": q_dedup_minhash_cc,
         "dedup_span": q_dedup_span,
         "topk_ngrams": q_top_ngrams,
+        "bm25_search": q_bm25_search,
+        "stratified_sample": q_stratified_sample,
+        "dsir_importance": q_dsir_importance,
     }
 
 
@@ -2544,4 +2697,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_minhash_cc": _oracle_minhash_cc(),
         "dedup_span": ORACLE_DEDUP_SPAN,
         "topk_ngrams": ORACLE_TOP_NGRAMS,
+        "bm25_search": _oracle_bm25(),
+        "stratified_sample": _oracle_stratified(),
+        "dsir_importance": ORACLE_DSIR,
     }

@@ -327,3 +327,58 @@ def test_top_ngrams_exact_and_tie_deterministic(spark):
         (3, "b a", 1),   # ties on cnt=1 break gram-ASC
         (4, "b z", 1),
     ]
+
+
+def test_stratified_sample_deterministic_subset(spark, docs):
+    from dude_spark.textops.sampling import stratified_sample, KNUTH32, MOD32
+
+    frac = {"en": 0.25, "fr": 0.5}
+    a = stratified_sample(docs, frac)
+    b = stratified_sample(docs, frac)
+    rows = sorted(r["doc_id"] for r in a.collect())
+    assert rows == sorted(r["doc_id"] for r in b.collect())  # replayable
+    # kept rows only from named strata, and each keep decision auditable
+    kept = a.select("doc_id", "lang", "sample_bucket").collect()
+    assert {r["lang"] for r in kept} <= set(frac)
+    for r in kept:
+        assert r["sample_bucket"] == (r["doc_id"] * KNUTH32) % MOD32
+        assert r["sample_bucket"] < int(frac[r["lang"]] * MOD32)
+    # fraction=1.0 keeps the whole stratum
+    full = stratified_sample(docs, {"zh": 1.0})
+    assert full.count() == docs.filter("lang = 'zh'").count()
+
+
+def test_bm25_ranks_term_stuffed_doc_first(spark):
+    from dude_spark.textops.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join " * 5),
+            (2, "spark join"),
+            (3, "window order by"),
+            (4, "the quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, [("q", "spark join")], k=3).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # docs 1 and 2 both match both terms; doc 3/4 match none → absent
+    assert set(ranked) == {1, 2}
+    # shorter doc 2 wins on length normalization (same tf saturation side)
+    assert all(r["score_ppm"] > 0 for r in out)
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    """Docs drawn from the target-domain vocabulary must out-weigh docs
+    from a disjoint vocabulary: their bigram buckets carry positive
+    log-ratios (target mass), the others negative."""
+    from dude_spark.textops.sampling import dsir_importance
+
+    tgt = [(i, "alpha beta gamma delta " * 4, "en") for i in range(20)]
+    oth = [(100 + i, "omega psi chi phi " * 4, "zh") for i in range(20)]
+    docs = spark.createDataFrame(tgt + oth, "doc_id long, text string, lang string")
+    w = {
+        r["doc_id"]: r["weight_ppm"]
+        for r in dsir_importance(docs, F.col("lang") == "en").collect()
+    }
+    assert min(w[i] for i in range(20)) > max(w[100 + i] for i in range(20))
