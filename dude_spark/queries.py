@@ -2425,6 +2425,43 @@ FROM agg
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (textops/dedup.py decontaminate): exact
+    8-gram overlap of training docs against a held-out benchmark slice
+    (doc_id % 29 == 0 stands in for the eval set) — broadcast gram dim,
+    map-side join, shuffle tracks contamination not corpus."""
+    from .textops.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    train = docs.filter(F.col("doc_id") % 29 != 0)
+    return decontaminate(train, bench, k=8).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_contaminated_grams").cast("long"),
+    )
+
+
+ORACLE_DECONTAMINATE = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM d, unnest(generate_series(1, len(toks) - 7)) AS s(i)
+  WHERE len(toks) >= 8
+), b AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0
+)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_contaminated_grams
+FROM g JOIN b USING (gram)
+WHERE doc_id % 29 != 0
+GROUP BY doc_id
+"""
+
+
 # fixed query set over the corpus vocabulary (documents.parquet is built
 # from a closed word list — TESTDATA.md)
 BM25_QUERIES = [
@@ -2638,6 +2675,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "stratified_sample": q_stratified_sample,
         "dsir_importance": q_dsir_importance,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2700,4 +2738,5 @@ def oracle_sql() -> Dict[str, str]:
         "bm25_search": _oracle_bm25(),
         "stratified_sample": _oracle_stratified(),
         "dsir_importance": ORACLE_DSIR,
+        "decontaminate": ORACLE_DECONTAMINATE,
     }

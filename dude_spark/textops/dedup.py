@@ -287,6 +287,69 @@ def transitive_representatives(
     )
 
 
+def _gram_hash_array(text_col: str, k: int, hash_fn) -> Column:
+    """DISTINCT hashed token ``k``-grams of the normalized text, as one
+    array column — grams + hashes built inside a single projection (no
+    per-position rows are materialized). Shared by the span-dedup anchor
+    path and benchmark decontamination."""
+    t = tokens(F.col(text_col))
+    # sequence(1, 0) is DESCENDING in Spark ([1, 0]) — docs shorter than k
+    # tokens must yield an empty gram list, not two bogus indices.
+    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+    grams = F.when(
+        F.size(t) >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + j).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    return F.transform(F.array_distinct(grams), lambda g: hash_fn(g, "span"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of DISTINCT verbatim
+    ``k``-token grams shared with an evaluation/benchmark set — the GPT-3
+    appendix-C / Llama-style n-gram overlap check, EXACT (every gram
+    participates; no anchor subsampling — a missed contamination is worse
+    than the extra hashing).
+
+    Returns ``(doc_id, n_contaminated_grams)`` for training documents
+    sharing ≥1 gram with any benchmark document; filter or down-weight the
+    hits upstream of training.
+
+    100 TB shape: the benchmark side is small by definition (an eval set),
+    so its distinct gram-hash dim BROADCASTS — the training side is ONE
+    scan + explode feeding a map-side broadcast inner join; only matched
+    rows reach the final per-doc aggregation (partial-agg combined), so
+    shuffle volume tracks contamination, not corpus size. Gram hashing and
+    normalization are byte-identical to :func:`duplicated_span_docs`
+    (shared kernel), 'xxhash64' is the production hash twin.
+    """
+    hash_fn = HASH_FNS[hash_family]
+
+    def gram_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("doc_id"),
+            F.explode(_gram_hash_array(text_col, k, hash_fn)).alias("gh"),
+        )
+
+    bench_dim = gram_rows(benchmark).select("gh").distinct()
+    return (
+        gram_rows(docs)
+        .join(F.broadcast(bench_dim), on="gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+
+
 def duplicated_span_docs(
     docs: DataFrame,
     text_col: str = "text",
@@ -328,20 +391,7 @@ def duplicated_span_docs(
     this extends SURVEY §2's training-data-pipeline set.
     """
     hash_fn = HASH_FNS[hash_family]
-    t = tokens(F.col(text_col))
-    # sequence(1, 0) is DESCENDING in Spark ([1, 0]) — docs shorter than k
-    # tokens must yield an empty gram list, not two bogus indices.
-    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
-    grams = F.when(
-        F.size(t) >= k,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, (i + j).cast("int")) for j in range(k)]
-            ),
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
-    hashes = F.transform(F.array_distinct(grams), lambda g: hash_fn(g, "span"))
+    hashes = _gram_hash_array(text_col, k, hash_fn)
     anchors = F.array_distinct(
         F.filter(hashes, lambda h: h % select_mod == F.lit(0))
     )

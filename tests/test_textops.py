@@ -382,3 +382,33 @@ def test_dsir_weights_favor_target_domain(spark):
         for r in dsir_importance(docs, F.col("lang") == "en").collect()
     }
     assert min(w[i] for i in range(20)) > max(w[100 + i] for i in range(20))
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from dude_spark.textops.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the benchmark's first 8-token gram verbatim
+            (1, "prefix words the quick brown fox jumps over the lazy suffix"),
+            (2, "completely disjoint vocabulary sentence with many tokens here ok"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_contaminated_grams"]
+           for r in decontaminate(train, bench, k=8).collect()}
+    assert out == {1: 1}
+
+    # span-dedup parity: the shared gram kernel normalizes identically, so
+    # a doc equal to the benchmark matches on every gram
+    full = spark.createDataFrame(
+        [(4, "The  quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    out2 = decontaminate(full, bench, k=8).collect()
+    assert out2[0]["n_contaminated_grams"] == 3  # 10 tokens → 3 grams
