@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "quality_score",
     "pii_scrub",
     "sessionize",
+    "bm25_search",
+    "dsir_importance",
+    "decontaminate",
 ]
 
 
